@@ -1,0 +1,48 @@
+"""The φ function of sum-product LDPC decoding, in JAX.
+
+φ_abs(x) = -log(tanh(x/2)) on R+, which is self-inverse; φ(x) applies it to
+|x| and carries the sign. Matches the reference's fp32 numerics
+(flood.cu:31-45): inputs are clamped below at ``pre_threshold = 1e-5``
+(bounding the output at ≈ 12.2) and the Taylor tail ``2·e^{-x}`` is used for
+x > 5. The main branch is computed directly as -log(tanh(x/2)), which keeps
+full fp32 relative accuracy even for tiny x (tanh(t) ≈ t), unlike the
+exp/expm1 formulation.
+
+Messages may be *stored* in bf16 (the TPU analog of the reference's fp16
+path, flood.cu:21-29) but φ is always evaluated in fp32 — bf16's 8-bit
+mantissa is too coarse for the tanh/log chain, while upcasting is free on
+the VPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+PRE_THRESHOLD = 1e-5  # flood.cu:14
+TAYLOR_LIMIT = 5.0  # flood.cu:32
+
+
+def phi_abs(x: jnp.ndarray) -> jnp.ndarray:
+    """φ_abs = -log(tanh(x/2)) for x >= 0, fp32, reference-clamped."""
+    x32 = x.astype(jnp.float32)
+    xm = jnp.maximum(x32, jnp.float32(PRE_THRESHOLD))
+    main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
+    return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
+
+
+def phi(x: jnp.ndarray) -> jnp.ndarray:
+    """Signed φ: phi_abs(|x|) with the sign of x (flood.cu:40-45).
+
+    Preserves the sign of ±0 like the reference's bit-twiddled copysign.
+    """
+    return jnp.copysign(phi_abs(jnp.abs(x)), x.astype(jnp.float32))
+
+
+def phi_abs_np(x):
+    """Numpy reference implementation (for tests)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    xm = np.maximum(x, PRE_THRESHOLD)
+    main = -np.log(np.tanh(xm * 0.5))
+    return np.where(xm > TAYLOR_LIMIT, 2.0 * np.exp(-xm), main)

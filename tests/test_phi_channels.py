@@ -1,0 +1,115 @@
+"""φ numerics and channel model tests."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_decoder_tpu.channels import BIAWGNChannel, BSCChannel, make_channel
+from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, phi, phi_abs, phi_abs_np
+from ldpc_decoder_tpu.rng.chacha_np import PrngChacha
+
+
+def exact_phi(x):
+    # stable float64 oracle: -log(tanh(x/2)) = log1p(e^-x) - log1p(-e^-x)
+    e = np.exp(-np.asarray(x, dtype=np.float64))
+    return np.log1p(e) - np.log1p(-e)
+
+
+def test_phi_abs_accuracy():
+    xs = np.concatenate(
+        [np.linspace(1e-4, 5.0, 2001), np.linspace(5.0, 30.0, 101)[1:]]
+    )
+    got = np.asarray(phi_abs(jnp.asarray(xs, dtype=jnp.float32)))
+    want = exact_phi(xs)
+    # main branch: tight; Taylor tail 2e^{-x}: relative error < 2e^{-2x} small
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-30)
+    assert rel[xs <= 5].max() < 1e-4
+    assert rel[xs > 5].max() < 1e-4
+
+
+def test_phi_self_inverse():
+    xs = np.linspace(0.05, 8.0, 500)
+    once = np.asarray(phi_abs(jnp.asarray(xs, dtype=jnp.float32)))
+    twice = np.asarray(phi_abs(jnp.asarray(once)))
+    np.testing.assert_allclose(twice, xs, rtol=2e-3, atol=2e-3)
+
+
+def test_phi_clamp_matches_reference():
+    # inputs below pre_threshold clamp to phi_abs(1e-5) (flood.cu:33)
+    v = np.asarray(phi_abs(jnp.asarray([0.0, 1e-7, PRE_THRESHOLD])))
+    assert v[0] == v[1] == v[2]
+    assert v[0] == pytest.approx(exact_phi(1e-5), rel=1e-4)
+
+
+def test_phi_sign_handling():
+    out = np.asarray(phi(jnp.asarray([-2.0, 2.0, -0.0, 0.0], dtype=jnp.float32)))
+    assert out[0] == -out[1]
+    assert np.signbit(out[2]) and not np.signbit(out[3])
+    np.testing.assert_allclose(out[1], exact_phi(2.0), rtol=1e-5)
+
+
+def test_phi_np_matches_jax():
+    xs = np.linspace(0.001, 20, 777)
+    np.testing.assert_allclose(
+        np.asarray(phi_abs(jnp.asarray(xs, dtype=jnp.float32))),
+        phi_abs_np(xs),
+        rtol=1e-5,
+    )
+
+
+def test_bsc_llr_and_capacity():
+    ch = BSCChannel(0.09)
+    assert ch.llr_ref == pytest.approx(math.log(0.91 / 0.09))
+    # capacity formula channel.cpp:70-73
+    p = 0.09
+    assert ch.capacity() == pytest.approx(
+        1 + p * math.log2(p) + (1 - p) * math.log2(1 - p)
+    )
+    vals = jnp.asarray([1.0, -1.0, 0.5, -0.0, 0.0])
+    llrs = np.asarray(ch.llr_from_channel(vals))
+    np.testing.assert_allclose(
+        llrs,
+        [ch.llr_ref, -ch.llr_ref, ch.llr_ref, -ch.llr_ref, ch.llr_ref],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(llrs, ch.llr_np(np.asarray(vals)), rtol=1e-7)
+
+
+def test_awgn_llr_and_capacity():
+    ch = BIAWGNChannel(0.9399414)
+    # README.md:77-78: sigma 0.939941 -> SNR 1.13187, capacity 0.5268
+    assert ch.snr == pytest.approx(1.13187, abs=2e-5)
+    assert ch.capacity() == pytest.approx(0.5268, abs=2e-4)
+    vals = jnp.asarray([0.7, -1.3])
+    np.testing.assert_allclose(
+        np.asarray(ch.llr_from_channel(vals)),
+        np.asarray(vals) * 2 * ch.snr,
+        rtol=1e-6,
+    )
+
+
+def test_bsc_noise_statistics_and_determinism():
+    ch = BSCChannel(0.2)
+    vals = np.ones(50000, dtype=np.float32)
+    out = ch.add_noise_np(PrngChacha(1), vals)
+    flip_rate = float((out < 0).mean())
+    assert abs(flip_rate - 0.2) < 0.01
+    out2 = ch.add_noise_np(PrngChacha(1), vals)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_awgn_noise_statistics():
+    ch = BIAWGNChannel(0.8)
+    vals = np.ones(100000, dtype=np.float32)
+    out = ch.add_noise_np(PrngChacha(2), vals)
+    assert abs(float(out.mean()) - 1.0) < 0.01
+    assert abs(float(out.std()) - 0.8) < 0.01
+
+
+def test_make_channel():
+    assert isinstance(make_channel(0, 0.1), BSCChannel)
+    assert isinstance(make_channel(1, 0.9), BIAWGNChannel)
+    with pytest.raises(ValueError):
+        make_channel(7, 0.1)
