@@ -1,0 +1,116 @@
+"""Command-line test harness.
+
+Flag-compatible with the reference binary (main.cpp:540-563):
+
+    python -m ldpc_decoder_tpu.cli -f code.alist -c 1 -n 0.94 -p 8 -m 2 \
+        -e 15 -i 120
+
+  -b f  BER above which a frame counts as errored (alternative to -e)
+  -c n  channel: 0 bsc, 1 awgn
+  -e n  errors above which a frame counts as errored
+  -f s  alist code file
+  -i n  max BP iterations per frame (default 100)
+  -l n  log level 1..3
+  -m n  loading factor (frames per run = m * parallel factor, default 4)
+  -n f  channel noise level
+  -p n  log2 of max frames decoded in parallel (default 5)
+  -r n  number of runs (default 1)
+  -s n  first frame index (seed base) for reproducibility
+
+TPU-specific extras (long options): --dtype {float32,bfloat16} for message
+storage, --check-period k (the reference's non-CLI m_num_iter_check_parity),
+--memory-bytes to override HBM autodetection.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ldpc_decoder_tpu.channels import make_channel
+from ldpc_decoder_tpu.codes.code import LDPCCode
+from ldpc_decoder_tpu.runtime.harness import do_test
+from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ldpc_decoder_tpu",
+        description="TPU-native LDPC flood decoder test harness",
+    )
+    p.add_argument("-b", type=float, default=0.0, metavar="BER",
+                   help="frame-error BER threshold (alternative to -e)")
+    p.add_argument("-c", type=int, required=True, metavar="CHANNEL",
+                   help="0 = bsc, 1 = awgn")
+    p.add_argument("-e", type=int, default=0, metavar="ERRORS",
+                   help="frame-error bit count threshold")
+    p.add_argument("-f", type=str, required=True, metavar="ALIST",
+                   help="code file (alist)")
+    p.add_argument("-i", type=int, default=100, metavar="ITERS",
+                   help="max decoding iterations per frame")
+    p.add_argument("-l", type=int, default=1, choices=[1, 2, 3],
+                   metavar="LOGLEVEL")
+    p.add_argument("-m", type=int, default=4, metavar="LOADING",
+                   help="loading factor")
+    p.add_argument("-n", type=float, required=True, metavar="NOISE",
+                   help="channel noise level")
+    p.add_argument("-p", type=int, default=5, metavar="LOG2PAR",
+                   help="log2 of max parallel frames")
+    p.add_argument("-r", type=int, default=1, metavar="RUNS")
+    p.add_argument("-s", type=int, default=0, metavar="START",
+                   help="first frame index (reproducibility seed)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32", help="message storage dtype")
+    p.add_argument("--check-period", type=int, default=10,
+                   help="iterations between parity checks/refills")
+    p.add_argument("--memory-bytes", type=int, default=None,
+                   help="override detected device memory")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.e and args.b:
+        print("Cannot define both bit error rate and bit error count")
+        return 1
+    if args.m <= 0:
+        print("Invalid overloading factor")
+        return 1
+    if args.r == 0:
+        print("0 runs to perform, exiting")
+        return 0
+
+    print(f"Code file name:{args.f}")
+    try:
+        channel = make_channel(args.c, args.n)
+        code = LDPCCode.from_alist(args.f)
+    except (ValueError, OSError) as e:
+        print(e)
+        return 1
+
+    target_errors = (
+        args.e if args.e > 0 else int(code.n_vars * args.b)
+    )
+    print(f"Target number of errors per frame: {target_errors}\n")
+
+    static_p = StaticParams(
+        max_log_parallel_factor_user=args.p,
+        message_dtype=args.dtype,
+        device_memory_bytes=args.memory_bytes,
+    )
+    dyn_p = DynamicParams(
+        num_iter_max=args.i,
+        num_iter_check_parity=args.check_period,
+        loading_factor=args.m,
+        target_errors=target_errors,
+    )
+    report = do_test(
+        code, channel, args.r, static_p, dyn_p,
+        start_index=args.s, log_level=args.l,
+    )
+    print(report.report, end="")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -172,15 +172,18 @@ def compute_syndrome(code: LDPCCode, bits: np.ndarray) -> np.ndarray:
         bits = bits[:, None]
     if bits.shape[0] != code.n_vars:
         raise ValueError("bits has wrong leading dimension")
-    gathered = bits[code.out_edge_to_in_bit].astype(np.int64)
-    sums = np.add.reduceat(
-        gathered,
-        code.out_bit_to_edge[:-1].astype(np.int64),
-        axis=0,
-    )
-    # reduceat quirk: empty segments copy the next element; mask them to 0.
+    n = bits.shape[1]
+    starts = code.out_bit_to_edge[:-1].astype(np.int64)
     empty = code.check_degrees == 0
-    syn = (sums & 1).astype(np.int8)
+    syn = np.empty((code.n_checks, n), dtype=np.int8)
+    # chunk the frame axis so the [n_edges, chunk] gather stays small
+    chunk = max(1, min(n, (1 << 28) // max(code.n_edges, 1)))
+    for lo in range(0, n, chunk):
+        g = bits[code.out_edge_to_in_bit, lo : lo + chunk].astype(np.uint8)
+        # uint8 wraparound preserves parity; degrees < 256 anyway
+        sums = np.add.reduceat(g, starts, axis=0)
+        syn[:, lo : lo + chunk] = (sums & 1).astype(np.int8)
+    # reduceat quirk: empty segments copy the next element; mask them to 0.
     if empty.any():
         syn[empty] = 0
     return syn[:, 0] if squeeze else syn

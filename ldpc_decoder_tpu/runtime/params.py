@@ -1,0 +1,44 @@
+"""Decoder parameter structs.
+
+Mirror of the reference's static/dynamic parameter split
+(h/ldpc_decoder_gpu_common.h:7-54), adapted to TPU: thread-geometry knobs
+disappear (XLA owns scheduling), replaced by dtype/mesh choices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class StaticParams:
+    """Fixed at decoder construction (h/ldpc_decoder_gpu_common.h:7-22)."""
+
+    # log2 of the max number of frames resident on the device, user cap;
+    # the actual value may be lowered by the memory model (default 5,
+    # h/ldpc_decoder_gpu_common.h:19)
+    max_log_parallel_factor_user: int = 5
+    # message storage dtype: "float32" or "bfloat16" (the TPU analog of the
+    # reference's CUDA fp16 build option, CMakeLists.txt:13-15)
+    message_dtype: str = "float32"
+    # fraction of device memory kept free (reference reserves 10%,
+    # ldpc_decoder_gpu.cu:84-88)
+    memory_headroom: float = 0.10
+    # override detected per-device HBM bytes (None = autodetect)
+    device_memory_bytes: int | None = None
+
+
+@dataclass
+class DynamicParams:
+    """Per-decode knobs (h/ldpc_decoder_gpu_common.h:24-54)."""
+
+    # kept for interface parity: the reference's OpenCL kernels derive the
+    # phi clamp from this; our phi bakes the same constants in (ops/phi.py)
+    infinity_threshold: float = 10.0
+    num_iter_max: int = 100
+    # iterations between on-device parity checks / refills
+    num_iter_check_parity: int = 10
+    # frames per run = parallel_factor * loading_factor (main.cpp:320)
+    loading_factor: int = 4
+    target_errors: int = 0
+    num_vectors_per_run: int = 0  # filled by the harness

@@ -1,0 +1,179 @@
+"""Decoder runtime: retire/refill machinery, datagen, harness, report."""
+
+import io
+
+import numpy as np
+import pytest
+
+from ldpc_decoder_tpu.channels import BIAWGNChannel, BSCChannel
+from ldpc_decoder_tpu.codes.code import compute_syndrome
+from ldpc_decoder_tpu.codes.generate import make_regular_code
+from ldpc_decoder_tpu.rng.chacha_np import PrngChacha, stream_words
+from ldpc_decoder_tpu.runtime.datagen import (
+    NOISE_SEED_FLAG,
+    create_data,
+    generate_reference_bits,
+)
+from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+from ldpc_decoder_tpu.runtime.harness import do_test
+from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+
+def small_code():
+    return make_regular_code(512, 3, 6, seed=21)
+
+
+def test_reference_bits_seeding_contract():
+    """Bit i of frame f comes from word i of the stream seeded with the
+    32-frame group base (main.cpp:478-487)."""
+    bits = generate_reference_bits(100, start_index=7, n_frames=40)
+    words_g0 = stream_words(7, 0, 100)
+    words_g1 = stream_words(7 + 32, 0, 100)
+    for i in [0, 1, 63, 99]:
+        for f in [0, 5, 31]:
+            assert bits[i, f] == (int(words_g0[i]) >> f) & 1
+        for f in [32, 39]:
+            assert bits[i, f] == (int(words_g1[i]) >> (f - 32)) & 1
+
+
+def test_noise_seeding_contract():
+    """Frame v's noise stream is seeded (start+v) | 2^32 (main.cpp:520-527)."""
+    code = small_code()
+    ch = BSCChannel(0.1)
+    batch = create_data(code, ch, start_index=3, n_frames=4)
+    # regenerate frame 2 by hand
+    prng = PrngChacha((3 + 2) | NOISE_SEED_FLAG)
+    tx = np.where(batch.ref_bits[:, 2] > 0, 1.0, -1.0).astype(np.float32)
+    vals = ch.add_noise_np(prng, tx)
+    np.testing.assert_array_equal(batch.values[:, 2], vals)
+
+
+def test_create_data_batch_offset_continuity():
+    """Batch b of size N starts at frame start+b*N: batches tile the same
+    absolute frame sequence (main.cpp:476)."""
+    code = small_code()
+    ch = BSCChannel(0.05)
+    two = create_data(code, ch, start_index=0, n_frames=64)
+    second = create_data(code, ch, start_index=0, n_frames=32, batch_index=1)
+    np.testing.assert_array_equal(two.ref_bits[:, 32:], second.ref_bits)
+    np.testing.assert_array_equal(two.values[:, 32:], second.values)
+
+
+def test_syndromes_match_ref_bits():
+    code = small_code()
+    batch = create_data(code, BSCChannel(0.05), 0, 8)
+    np.testing.assert_array_equal(
+        batch.syndromes, compute_syndrome(code, batch.ref_bits)
+    )
+
+
+def test_decode_with_refill_below_threshold():
+    """loading_factor > 1 exercises retire/refill; everything decodes."""
+    code = small_code()
+    ch = BIAWGNChannel(0.65)
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=3))
+    assert dec.parallel_factor() == 8
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=3)
+    n = dec.parallel_factor() * dyn.loading_factor
+    batch = create_data(code, ch, 0, n)
+    results, stats = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum(axis=1)
+    assert errors.sum() == 0, f"residual errors: {errors}"
+    assert stats.iterations.min() >= 5
+    assert stats.iterations.max() <= 60 + 5  # crude-finish granularity
+    assert stats.total_supersteps >= 3
+
+
+def test_decode_iteration_budget_retires_frames():
+    """Above threshold, frames retire at the max-iteration budget instead of
+    spinning forever."""
+    code = small_code()
+    ch = BIAWGNChannel(1.5)  # way above threshold
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=2))
+    dyn = DynamicParams(num_iter_max=20, num_iter_check_parity=5,
+                        loading_factor=2)
+    n = dec.parallel_factor() * dyn.loading_factor
+    batch = create_data(code, ch, 0, n)
+    results, stats = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum(axis=1)
+    assert (errors > 0).all()  # nothing decodable at sigma=1.5
+    assert stats.iterations.max() <= 20
+    assert stats.iterations.min() >= 5
+
+
+def test_decode_n_less_than_parallel_factor():
+    code = small_code()
+    ch = BIAWGNChannel(0.6)
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=4))
+    dyn = DynamicParams(num_iter_max=50, num_iter_check_parity=10,
+                        loading_factor=1)
+    n = 5  # fewer frames than lanes
+    batch = create_data(code, ch, 0, n)
+    results, stats = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum(axis=1)
+    assert errors.sum() == 0
+    assert results.shape == (5, code.n_vars // 32)
+
+
+def test_decode_input_validation():
+    code = small_code()
+    dec = LDPCDecoder(code, BSCChannel(0.01),
+                      StaticParams(max_log_parallel_factor_user=2))
+    dyn = DynamicParams()
+    with pytest.raises(ValueError):
+        dec.decode(dyn, 4, np.zeros((3, 4), np.float32),
+                   np.zeros((code.n_checks, 4), np.int8))
+
+
+def test_bsc_end_to_end_harness():
+    code = small_code()
+    out = io.StringIO()
+    report = do_test(
+        code,
+        BSCChannel(0.02),
+        num_runs=2,
+        static_params=StaticParams(max_log_parallel_factor_user=3),
+        dyn_params=DynamicParams(num_iter_max=50, loading_factor=2,
+                                 target_errors=15),
+        start_index=0,
+        log_level=3,
+        out=out,
+    )
+    assert report.num_bit_errors == 0
+    assert report.vectors_with_errors == 0
+    assert "Summary" in report.report
+    assert "Decoding throughput:" in report.report
+    assert "Frames with more than 15 errors:" in report.report
+    log = out.getvalue()
+    assert "Errors before error correction" in log
+    assert "frame batch 1 / 2" in log
+
+
+def test_report_formulas():
+    from ldpc_decoder_tpu.runtime.report import TestReport
+
+    r = TestReport(
+        code_and_channel_specs="specs\n",
+        num_vectors_per_run=512,
+        num_runs=1,
+        frame_size=1 << 20,
+        target_errors=15,
+        num_bit_errors=123,
+        max_bit_error=18,
+        vectors_with_errors=24,
+        vectors_with_error_above_target=1,
+        elapsed_time=3.21092,
+        avg_iter=90.7148,
+        min_iter=80,
+        max_iter=121,
+        iter_time_per_vector=5.50418e-05,
+    )
+    text = r.gen_summary()
+    # reference README numbers (README.md:93-106)
+    assert r.ber == pytest.approx(2.29105e-07, rel=1e-4)
+    assert r.mbits_processed == 512.0
+    assert "Frames with more than 15 errors:  1 (corresponding FER: 0.00195312)" in text
+    assert "Frames with at least one error:   24 (corresponding FER: 0.046875)" in text
+    assert "159.456" in text  # throughput incl transfers
+    assert "200.27" in text  # decoding throughput
