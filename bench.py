@@ -1,0 +1,118 @@
+"""Flagship benchmark: decoded throughput on a 2^20-bit rate-0.5 AWGN code.
+
+Mirrors the reference's headline config (README.md:56, 68-107: RTX 3080,
+2^20-bit AWGN rate-0.5 code near threshold, 256 frames resident, loading
+factor 2, -e 15 -i 120) on one TPU chip. Baseline: 200.276 Mb/s steady-state
+decoding throughput (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mb/s", "vs_baseline": N/200.276}
+
+Diagnostics go to stderr. The noise level is chosen near the benched code's
+own BP threshold so the average iteration count is comparable to the
+reference's 90.7 (the generated code and the reference's unpublished one
+differ; matched-work comparison is by iterations, and the metric itself is
+normalized per iteration via the reference's own formula).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MBPS = 200.276  # README.md:106
+ALIST = os.path.join(os.path.dirname(__file__), "codes_cache",
+                     "bench_awgn_r05_1048576.alist")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_code():
+    from ldpc_decoder_tpu.codes.code import LDPCCode
+
+    if os.path.exists(ALIST):
+        log(f"loading cached code {ALIST}")
+        return LDPCCode.from_alist(ALIST)
+    log("generating 2^20-bit rate-0.5 code (seed 1)...")
+    from ldpc_decoder_tpu.codes.generate import make_regular_code
+
+    code = make_regular_code(1 << 20, 3, 6, seed=1)
+    os.makedirs(os.path.dirname(ALIST), exist_ok=True)
+    code.to_alist(ALIST)
+    return code
+
+
+def main():
+    t_all = time.perf_counter()
+    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.runtime.datagen_device import (
+        count_bit_errors,
+        create_pool_device,
+    )
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    sigma = float(os.environ.get("BENCH_SIGMA", "0.86"))
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
+    code = get_code()
+    channel = BIAWGNChannel(sigma)
+    dec = LDPCDecoder(
+        code, channel,
+        StaticParams(max_log_parallel_factor_user=8, message_dtype=dtype),
+    )
+    dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
+                        loading_factor=2, target_errors=15)
+    B = dec.parallel_factor()
+    n = B * dyn.loading_factor
+    n = (n // 32) * 32
+    log(f"sigma={sigma} dtype={dtype} B={B} frames={n}")
+
+    t0 = time.perf_counter()
+    pool = create_pool_device(dec.cc, dec.tables, channel, 0, n)
+    pool.values_sorted.block_until_ready()
+    log(f"on-device datagen: {time.perf_counter()-t0:.1f}s")
+
+    # warm-up/compile pass on a tiny pool slice
+    t0 = time.perf_counter()
+    _ = dec.decode_presorted(dyn, n, pool.values_sorted, pool.syn_sorted,
+                             fetch_results=False)
+    log(f"decode 1 (incl. compile): {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    results, stats = dec.decode_presorted(
+        dyn, n, pool.values_sorted, pool.syn_sorted, fetch_results=False
+    )
+    errors = np.asarray(count_bit_errors(results, pool.ref_packed))
+    elapsed = stats.elapsed_seconds
+
+    frame_bits = code.n_vars
+    itpv = stats.iter_time_per_vector
+    avg_iter = stats.avg_iter
+    dec_mbps = frame_bits / (avg_iter * itpv * 1048576.0)
+    e2e_mbps = (frame_bits * n / 1048576.0) / elapsed
+    fer1 = float((errors > 0).mean())
+    fer15 = float((errors > 15).mean())
+    ber = float(errors.sum()) / (frame_bits * n)
+
+    log(
+        f"decode: {elapsed:.2f}s, iters avg/max/min = {avg_iter:.1f}/"
+        f"{stats.max_iter}/{stats.min_iter}, itpv={itpv:.3e}s, "
+        f"BER={ber:.3e} FER(>0)={fer1:.4f} FER(>15)={fer15:.4f}"
+    )
+    log(f"decoding throughput: {dec_mbps:.1f} Mb/s; end-to-end {e2e_mbps:.1f}"
+        f" Mb/s; total wall {time.perf_counter()-t_all:.1f}s")
+
+    print(json.dumps({
+        "metric": "decoding_throughput_1Mbit_rate0.5_awgn",
+        "value": round(dec_mbps, 2),
+        "unit": "Mb/s",
+        "vs_baseline": round(dec_mbps / BASELINE_MBPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

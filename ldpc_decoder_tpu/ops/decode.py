@@ -156,6 +156,20 @@ def parity_violations(
     return jnp.any(jnp.concatenate(viol, axis=0), axis=0)  # [B]
 
 
+def syndrome_from_bits(
+    bits: jnp.ndarray,  # [n_vars, B] int8 bits, sorted vn order
+    tables: DecodeTables,
+) -> jnp.ndarray:
+    """Syndrome in sorted cn order: XOR of bits over each check's edges
+    (device twin of ldpc_code.cpp:256-286). [n_checks, B] int8."""
+    bits_c = jnp.take(bits, tables.cn_edge_vnrow, axis=0)
+    out = []
+    for b in tables.cn_buckets:
+        x = jnp.sum(_bucket_view(bits_c, b).astype(jnp.int32), axis=1)
+        out.append((x & 1).astype(jnp.int8))
+    return jnp.concatenate(out, axis=0)
+
+
 def bp_iteration(
     msgs_c: jnp.ndarray,  # [E, B] state (possibly bf16)
     llr: jnp.ndarray,

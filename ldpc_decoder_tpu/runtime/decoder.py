@@ -286,6 +286,122 @@ class LDPCDecoder:
         self._superstep_cache[key] = fn
         return fn
 
+    def _mesh_decode_fn(self, k: int, max_iter: int, n_pool_local: int,
+                        mesh):
+        """Multi-chip driver: the whole decode shard_mapped over the 'batch'
+        mesh axis. Each device runs an independent local decoder over its
+        slice of the frame pool (frames never span devices — SURVEY.md §2);
+        the only cross-chip traffic is the psum'd remaining-frames scalar
+        in the loop condition."""
+        key = ("mesh", k, max_iter, n_pool_local, id(mesh))
+        if key in self._superstep_cache:
+            return self._superstep_cache[key]
+        from jax.sharding import PartitionSpec as P
+
+        core = self._build_superstep(k, max_iter, n_pool_local)
+
+        def local_run(pool_values, pool_syn):
+            state = self._init_state(pool_values, pool_syn, n_pool_local)
+
+            def cond(s):
+                return (
+                    jax.lax.psum(self._n_remaining(s, n_pool_local), "batch")
+                    > 0
+                )
+
+            final = jax.lax.while_loop(
+                cond, lambda s: core(s, pool_values, pool_syn), state
+            )
+            return (
+                final.results,
+                final.iters_out,
+                final.supersteps[None],  # [1] per device
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                local_run,
+                mesh=mesh,
+                in_specs=(P(None, "batch"), P(None, "batch")),
+                out_specs=(P("batch", None), P("batch"), P("batch")),
+                # several loop-carry components (pool cursor, counters) start
+                # as device-invariant constants and become device-varying in
+                # the body; skip the static VMA check
+                check_vma=False,
+            )
+        )
+        self._superstep_cache[key] = fn
+        return fn
+
+    def decode_sharded(
+        self,
+        dyn_params: DynamicParams,
+        n_vecs: int,
+        values: np.ndarray,
+        syndromes: np.ndarray,
+        mesh,
+    ) -> tuple[np.ndarray, DecodeStats]:
+        """Decode with the frame pool sharded over ``mesh``'s 'batch' axis.
+
+        Frames are dealt round-robin to devices; each device refills its
+        lanes only from its local pool shard. Total lanes in flight =
+        parallel_factor() * n_devices.
+        """
+        import time
+
+        n_dev = int(np.prod(mesh.devices.shape))
+        n_local = -(-n_vecs // n_dev)  # ceil
+        n_pad = n_local * n_dev
+        k = dyn_params.num_iter_check_parity
+        max_iter = dyn_params.num_iter_max
+
+        # round-robin deal: device d gets frames d, d+n_dev, ...
+        deal = np.arange(n_pad).reshape(n_local, n_dev).T.ravel()
+        pad_vals = np.zeros((self.code.n_vars, n_pad), np.float32)
+        # pad frames decode instantly: all-zero bits satisfy syndrome 0,
+        # so a strong negative channel value (bit 0) converges at once
+        pad_vals[: self.code.n_vars - self.code.n_erased_vars, :] = -1.0
+        pad_vals[:, :n_vecs] = values
+        pad_syn = np.zeros((self.code.n_checks, n_pad), np.int8)
+        pad_syn[:, :n_vecs] = syndromes
+
+        vn_order = np.asarray(self.cc.vn_order)
+        cn_order = np.asarray(self.cc.cn_order)
+        from ldpc_decoder_tpu.parallel.mesh import batch_sharding
+
+        pool_values = jax.device_put(
+            pad_vals[vn_order][:, deal], batch_sharding(mesh, 1, 2)
+        )
+        pool_syn = jax.device_put(
+            pad_syn[cn_order][:, deal], batch_sharding(mesh, 1, 2)
+        )
+
+        fn = self._mesh_decode_fn(k, max_iter, n_local, mesh)
+        t0 = time.perf_counter()
+        results_sh, iters_sh, supersteps = fn(pool_values, pool_syn)
+        results_sh = np.asarray(results_sh)
+        iters_sh = np.asarray(iters_sh)
+        elapsed = time.perf_counter() - t0
+
+        # reassemble: drop each device's sentinel row, undo the deal
+        res = results_sh.reshape(n_dev, n_local + 1, self.n_words)[:, :-1]
+        res = res.reshape(n_dev * n_local, self.n_words)
+        iters = iters_sh.reshape(n_dev, n_local + 1)[:, :-1].ravel()
+        inv = np.empty_like(deal)
+        inv[deal] = np.arange(n_pad)
+        results = res[inv][:n_vecs]
+        iters = iters[inv][:n_vecs]
+
+        supersteps = int(np.max(supersteps))
+        stats = DecodeStats(
+            iterations=iters,
+            total_supersteps=supersteps,
+            total_iterations=supersteps * k,
+            elapsed_seconds=elapsed,
+            batch_size=self._parallel_factor * n_dev,
+        )
+        return results, stats
+
     def _init_state(self, pool_values, pool_syn, n_pool: int) -> DecodeState:
         b = self._parallel_factor
         frame_ids = jnp.arange(b, dtype=jnp.int32)
@@ -340,17 +456,35 @@ class LDPCDecoder:
                 "always available for built-in channels"
             )
 
-        k = dyn_params.num_iter_check_parity
-        max_iter = dyn_params.num_iter_max
-
-        # upload pools in sorted layouts (one-time permutation on device)
+        # upload pools in sorted layouts (one-time permutation)
         vn_order = np.asarray(self.cc.vn_order)
         cn_order = np.asarray(self.cc.cn_order)
         pool_values = jnp.asarray(
             values[vn_order].astype(np.float32, copy=False)
         )
         pool_syn = jnp.asarray(syndromes[cn_order].astype(np.int8, copy=False))
+        return self.decode_presorted(
+            dyn_params, n_vecs, pool_values, pool_syn,
+            host_poll=host_poll, progress=progress,
+        )
 
+    def decode_presorted(
+        self,
+        dyn_params: DynamicParams,
+        n_vecs: int,
+        pool_values: jnp.ndarray,  # [n_vars, n_vecs] f32, SORTED vn order
+        pool_syn: jnp.ndarray,     # [n_checks, n_vecs] int8, SORTED cn order
+        host_poll: bool = False,
+        progress=None,
+        fetch_results: bool = True,
+    ):
+        """Device-pool entry point: pools are already on device in the
+        decoder's sorted layouts (e.g. produced by the on-device data
+        generator) — zero host transfers before decode."""
+        import time
+
+        k = dyn_params.num_iter_check_parity
+        max_iter = dyn_params.num_iter_max
         state = self._init_state(pool_values, pool_syn, n_vecs)
 
         if host_poll:
@@ -373,8 +507,12 @@ class LDPCDecoder:
             elapsed = time.perf_counter() - t0
 
         supersteps = int(state.supersteps)
-        results = np.asarray(state.results)[:n_vecs]
-        iters = np.asarray(state.iters_out)[:n_vecs]
+        if fetch_results:
+            results = np.asarray(state.results)[:n_vecs]
+            iters = np.asarray(state.iters_out)[:n_vecs]
+        else:  # leave on device (e.g. for on-device error counting)
+            results = state.results[:n_vecs]
+            iters = np.asarray(state.iters_out)[:n_vecs]
         stats = DecodeStats(
             iterations=iters,
             total_supersteps=supersteps,
