@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_MBPS = 200.276  # README.md:106
 ALIST = os.path.join(os.path.dirname(__file__), "codes_cache",
-                     "bench_awgn_r05_1048576.alist")
+                     "bench_qc36_awgn_r05_1044480.alist")
 
 
 def log(msg):
@@ -32,18 +32,25 @@ def log(msg):
 
 
 def get_code():
-    from ldpc_decoder_tpu.codes.code import LDPCCode
+    """The flagship bench code: a ~2^20-bit rate-0.5 (3,6)-regular QC code
+    (Z = 174080, 4-cycle-free), decoded through the fused Pallas kernels."""
+    from ldpc_decoder_tpu.codes.qc import (
+        load_qc_alist,
+        make_qc_code,
+        write_qc_alist,
+    )
 
     if os.path.exists(ALIST):
         log(f"loading cached code {ALIST}")
-        return LDPCCode.from_alist(ALIST)
-    log("generating 2^20-bit rate-0.5 code (seed 1)...")
-    from ldpc_decoder_tpu.codes.generate import make_regular_code
-
-    code = make_regular_code(1 << 20, 3, 6, seed=1)
+        code, s = load_qc_alist(ALIST)
+        if s is not None:
+            return code, s
+    log("generating ~2^20-bit rate-0.5 QC code (seed 1)...")
+    base = np.ones((3, 6), dtype=np.int8)
+    code, s = make_qc_code(base, Z=174080, seed=1)
     os.makedirs(os.path.dirname(ALIST), exist_ok=True)
-    code.to_alist(ALIST)
-    return code
+    write_qc_alist(code, s, ALIST)
+    return code, s
 
 
 def main():
@@ -56,13 +63,17 @@ def main():
     from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
     from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
-    sigma = float(os.environ.get("BENCH_SIGMA", "0.86"))
-    dtype = os.environ.get("BENCH_DTYPE", "float32")
-    code = get_code()
+    # near the (3,6) ensemble's BP threshold (sigma* ~ 0.879) so the average
+    # iteration count is comparable to the reference's flagship run (90.7
+    # iterations at its own code's threshold, README.md:104)
+    sigma = float(os.environ.get("BENCH_SIGMA", "0.87"))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    code, qc = get_code()
     channel = BIAWGNChannel(sigma)
     dec = LDPCDecoder(
         code, channel,
         StaticParams(max_log_parallel_factor_user=8, message_dtype=dtype),
+        qc=qc,
     )
     dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
                         loading_factor=2, target_errors=15)

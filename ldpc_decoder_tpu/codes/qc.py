@@ -1,0 +1,201 @@
+"""Quasi-cyclic (protograph-lifted) LDPC codes.
+
+A TPU-first co-design: the reference decodes arbitrary irregular alist codes
+with scalar CSR walks (which a GPU tolerates); on TPU the Tanner-graph edge
+permutation becomes the bottleneck (a random row gather runs ~12 ns/row,
+latency-bound). QC codes make the permutation *structured*: the parity-check
+matrix is an R×C grid of Z×Z circulants, so moving messages between
+check-order and variable-order is a per-block cyclic rotation — a dense,
+DMA-friendly operation that runs at full HBM bandwidth in a Pallas kernel
+(see ops/qc_pallas.py) instead of a gather.
+
+QC-LDPC is also standard engineering practice (5G NR, 802.11, DVB-S2), and
+protograph ensembles reach the same thresholds as unstructured irregular
+ensembles, so nothing is lost vs the reference's unpublished code
+construction. Any alist still decodes through the general path; QC codes get
+the fast path.
+
+Conventions:
+- variable (j, z) has natural id j*Z + z; check (r, z) id r*Z + z;
+- a base edge (r, j) with shift s connects check (r, z) to variable
+  (j, (z + s) mod Z) for all z.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ldpc_decoder_tpu.codes.alist import AlistData
+from ldpc_decoder_tpu.codes.code import LDPCCode
+
+
+@dataclass(frozen=True)
+class QCStructure:
+    """Base-graph metadata of a lifted code."""
+
+    Z: int
+    n_base_rows: int
+    n_base_cols: int
+    # [n_base_edges] int32 each, sorted by (row, col): one entry per circulant
+    edge_row: np.ndarray
+    edge_col: np.ndarray
+    edge_shift: np.ndarray
+
+    @property
+    def n_base_edges(self) -> int:
+        return int(self.edge_row.shape[0])
+
+    def row_degrees(self) -> np.ndarray:
+        return np.bincount(self.edge_row, minlength=self.n_base_rows)
+
+    def col_degrees(self) -> np.ndarray:
+        return np.bincount(self.edge_col, minlength=self.n_base_cols)
+
+    def header_tokens(self) -> list[str]:
+        """Serialize into alist comment headers (ignored by the reference's
+        parser, ldpc_code.cpp:52-76)."""
+        edges = ",".join(
+            f"{r}:{c}:{s}"
+            for r, c, s in zip(
+                self.edge_row.tolist(),
+                self.edge_col.tolist(),
+                self.edge_shift.tolist(),
+            )
+        )
+        return [
+            f"#qc={self.Z};{self.n_base_rows};{self.n_base_cols}",
+            f"#qcedges={edges}",
+        ]
+
+    @staticmethod
+    def from_header(text: str) -> "QCStructure | None":
+        qc = edges = None
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("#qc="):
+                qc = line[4:]
+            elif line.startswith("#qcedges="):
+                edges = line[9:]
+            elif not line.startswith("#"):
+                break
+        if qc is None or edges is None:
+            return None
+        Z, R, C = (int(x) for x in qc.split(";"))
+        triples = [tuple(int(x) for x in e.split(":")) for e in edges.split(",")]
+        arr = np.array(triples, dtype=np.int32)
+        return QCStructure(
+            Z=Z, n_base_rows=R, n_base_cols=C,
+            edge_row=arr[:, 0], edge_col=arr[:, 1], edge_shift=arr[:, 2],
+        )
+
+
+def _has_4cycle(structure: QCStructure) -> bool:
+    """4-cycle test: cols j1<j2 sharing rows r1<r2 form a length-4 cycle iff
+    (s[r1,j1]-s[r1,j2]+s[r2,j2]-s[r2,j1]) % Z == 0."""
+    R, C, Z = structure.n_base_rows, structure.n_base_cols, structure.Z
+    S = np.full((R, C), -1, dtype=np.int64)
+    S[structure.edge_row, structure.edge_col] = structure.edge_shift
+    for r1 in range(R):
+        for r2 in range(r1 + 1, R):
+            both = (S[r1] >= 0) & (S[r2] >= 0)
+            d = (S[r1, both] - S[r2, both]) % Z
+            vals, counts = np.unique(d, return_counts=True)
+            if (counts > 1).any():
+                return True
+    return False
+
+
+def make_qc_structure(
+    base: np.ndarray, Z: int, seed: int = 0, max_tries: int = 200
+) -> QCStructure:
+    """Random circulant shifts for a 0/1 base matrix, rejecting 4-cycles."""
+    base = np.asarray(base)
+    rows, cols = np.nonzero(base)
+    rng = np.random.default_rng(seed)
+    for _ in range(max_tries):
+        shifts = rng.integers(0, Z, size=rows.shape[0]).astype(np.int32)
+        s = QCStructure(
+            Z=Z,
+            n_base_rows=base.shape[0],
+            n_base_cols=base.shape[1],
+            edge_row=rows.astype(np.int32),
+            edge_col=cols.astype(np.int32),
+            edge_shift=shifts,
+        )
+        if not _has_4cycle(s):
+            return s
+    raise RuntimeError(
+        f"could not find 4-cycle-free shifts for Z={Z} "
+        f"(base too dense for this lift size)"
+    )
+
+
+def qc_to_code(structure: QCStructure, n_erased_vars: int = 0) -> LDPCCode:
+    """Expand a QC structure into a full LDPCCode (vectorized)."""
+    Z = structure.Z
+    R, C = structure.n_base_rows, structure.n_base_cols
+    n_checks, n_vars = R * Z, C * Z
+    row_deg = structure.row_degrees()
+
+    # check-major adjacency: checks ordered (r, z); within check (r, z),
+    # slots ordered by base-edge order (sorted by col within a row)
+    order = np.lexsort((structure.edge_col, structure.edge_row))
+    e_row = structure.edge_row[order]
+    e_col = structure.edge_col[order].astype(np.int64)
+    e_shift = structure.edge_shift[order].astype(np.int64)
+
+    z = np.arange(Z, dtype=np.int64)
+    # for each check row r: blocks of that row -> [deg_r] per z
+    adjacency = np.empty(structure.n_base_edges * Z, dtype=np.int32)
+    check_degrees = np.repeat(row_deg.astype(np.int32), Z)
+    pos = 0
+    e_idx = 0
+    for r in range(R):
+        d = int(row_deg[r])
+        cols_r = e_col[e_idx : e_idx + d]
+        shifts_r = e_shift[e_idx : e_idx + d]
+        # adj[(z, k)] = cols_r[k]*Z + (z + shifts_r[k]) % Z
+        block = cols_r[None, :] * Z + (z[:, None] + shifts_r[None, :]) % Z
+        adjacency[pos : pos + d * Z] = block.reshape(-1)
+        pos += d * Z
+        e_idx += d
+
+    data = AlistData(
+        n_checks=n_checks,
+        n_vars=n_vars,
+        check_degrees=check_degrees,
+        var_degrees=np.repeat(
+            structure.col_degrees().astype(np.int32), Z
+        ),
+        check_adjacency=adjacency,
+        n_erased_vars=n_erased_vars,
+    )
+    return LDPCCode.from_alist_data(data)
+
+
+def make_qc_code(
+    base: np.ndarray, Z: int, seed: int = 0, n_erased_vars: int = 0
+) -> tuple[LDPCCode, QCStructure]:
+    structure = make_qc_structure(base, Z, seed)
+    return qc_to_code(structure, n_erased_vars), structure
+
+
+def write_qc_alist(
+    code: LDPCCode, structure: QCStructure, path: str
+) -> None:
+    """alist with QC metadata headers (reference-parser compatible)."""
+    from ldpc_decoder_tpu.codes.alist import write_alist
+
+    body = write_alist(code.to_alist_data())
+    with open(path, "w") as f:
+        for tok in structure.header_tokens():
+            f.write(tok + "\n")
+        f.write(body)
+
+
+def load_qc_alist(path: str) -> tuple[LDPCCode, QCStructure | None]:
+    with open(path) as f:
+        text = f.read()
+    return LDPCCode.from_alist(text), QCStructure.from_header(text)

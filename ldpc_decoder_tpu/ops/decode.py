@@ -122,7 +122,9 @@ def cn_update(
         res = phi_abs(ext - a)
         is_neg = (neg.astype(jnp.int32) ^ parity) == 1
         r = jnp.where(is_neg, -res, res)
-        out.append(r.reshape(b.count * b.degree, -1))
+        # keep the big intermediate in the message dtype: halves the HBM
+        # bytes of the materialized array and of the edge-permutation gather
+        out.append(r.reshape(b.count * b.degree, -1).astype(msgs_c.dtype))
     return jnp.concatenate(out, axis=0)
 
 
@@ -180,8 +182,12 @@ def bp_iteration(
     r_c = cn_update(msgs_c, syn, tables)
     r_v = jnp.take(r_c, tables.perm_c2v, axis=0)
     totals = vn_totals(r_v, llr, tables)
-    t_edge = jnp.take(totals, tables.cn_edge_vnrow, axis=0)  # [E, B]
-    pre = t_edge - r_c
+    # gather totals in the message dtype (halves gather bytes); the
+    # subtraction below upcasts back to f32 for phi
+    t_edge = jnp.take(
+        totals.astype(msgs_c.dtype), tables.cn_edge_vnrow, axis=0
+    )  # [E, B]
+    pre = t_edge.astype(jnp.float32) - r_c.astype(jnp.float32)
     new = jnp.copysign(phi_abs(jnp.abs(pre)), pre)
     return new.astype(msgs_c.dtype), totals
 

@@ -73,7 +73,21 @@ def _make_pool(
     if n_erased:
         values = values.at[n_vars - n_erased :].set(0.0)
     bits_sorted = jnp.take(ref_bits, vn_order, axis=0)
-    syn_sorted = ops.syndrome_from_bits(bits_sorted, tables)
+    from ldpc_decoder_tpu.ops.qc_decode import (
+        QCDecodeTables,
+        syndrome_from_bits_qc,
+    )
+    from ldpc_decoder_tpu.ops.qc_pallas import (
+        QCPallasTables,
+        syndrome_from_bits_qc_pallas,
+    )
+
+    if isinstance(tables, QCPallasTables):
+        syn_sorted = syndrome_from_bits_qc_pallas(bits_sorted, tables)
+    elif isinstance(tables, QCDecodeTables):
+        syn_sorted = syndrome_from_bits_qc(bits_sorted, tables)
+    else:
+        syn_sorted = ops.syndrome_from_bits(bits_sorted, tables)
     values_sorted = jnp.take(values, vn_order, axis=0)
     n_words = (n_vars + 31) // 32
     ref_packed = _pack_rows(ref_bits, n_words)

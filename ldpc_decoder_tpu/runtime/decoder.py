@@ -119,13 +119,50 @@ class LDPCDecoder:
         channel: Channel,
         static_params: StaticParams | None = None,
         device=None,
+        qc=None,  # QCStructure: enables the rotation-based fast path
     ):
         self.cc = code if isinstance(code, CompiledCode) else compile_code(code)
         self.code = self.cc.code
         self.channel = channel
         self.params = static_params or StaticParams()
         self.device = device
-        self.tables = ops.DecodeTables.from_compiled(self.cc)
+        self.qc = qc
+        if qc is not None:
+            from ldpc_decoder_tpu.ops import qc_decode as qc_ops
+
+            qct = qc_ops.QCDecodeTables.from_structure(
+                qc, self.code.n_erased_vars
+            )
+            if (
+                qct.n_vars != self.code.n_vars
+                or qct.n_checks != self.code.n_checks
+                or qct.n_edges != self.code.n_edges
+            ):
+                raise ValueError("QC structure does not match the code")
+            impl = (static_params or StaticParams()).kernel_impl
+            regular = len(qct.row_groups) == 1 and len(qct.col_groups) == 1
+            if impl == "pallas" or (impl == "auto" and regular):
+                from ldpc_decoder_tpu.ops import qc_pallas
+
+                msg_bytes = (
+                    2
+                    if (static_params or StaticParams()).message_dtype
+                    == "bfloat16"
+                    else 4
+                )
+                self.tables = qc_pallas.QCPallasTables.from_qc_tables(
+                    qct, msg_bytes=msg_bytes
+                )
+                self._run_iterations = qc_pallas.run_iterations_qc_pallas
+                self._init_messages = qc_pallas.init_messages_qc_pallas
+            else:
+                self.tables = qct
+                self._run_iterations = qc_ops.run_iterations_qc
+                self._init_messages = qc_ops.init_messages_qc
+        else:
+            self.tables = ops.DecodeTables.from_compiled(self.cc)
+            self._run_iterations = ops.run_iterations
+            self._init_messages = ops.init_messages
         self.msg_dtype = (
             jnp.bfloat16
             if self.params.message_dtype == "bfloat16"
@@ -158,9 +195,16 @@ class LDPCDecoder:
         """
         msg_bytes = 2 if self.msg_dtype == jnp.bfloat16 else 4
         e, nv, nc = self.code.n_edges, self.code.n_vars, self.code.n_checks
-        # resident state + XLA temporaries (messages, r_c, t_edge, totals,
-        # llr) — count 3 edge-sized fp32 temps to be safe
-        per_lane = e * msg_bytes * 2 + 3 * e * 4 + 3 * nv * 4 + nc
+        from ldpc_decoder_tpu.ops.qc_pallas import QCPallasTables
+
+        if isinstance(self.tables, QCPallasTables):
+            # fused kernels materialize only msgs_v + r_c (+ one pipeline
+            # margin) in the message dtype, plus llr/totals in fp32
+            per_lane = 3 * e * msg_bytes + 3 * nv * 4 + nc
+        else:
+            # XLA path: count 3 edge-sized fp32 temps (r_c, r_v/t_edge,
+            # new msgs) on top of the resident message buffers
+            per_lane = e * msg_bytes * 2 + 3 * e * 4 + 3 * nv * 4 + nc
         # pool: raw values fp32 + syndrome + packed results, x loading factor
         per_pool_frame = nv * 4 + nc + (nv // 8)
         table_bytes = 3 * e * 4 + 2 * nv * 4 + 2 * nc * 4
@@ -207,7 +251,7 @@ class LDPCDecoder:
             )
 
         def superstep(state: DecodeState, pool_values, pool_syn):
-            msgs, bits, violated = ops.run_iterations(
+            msgs, bits, violated = self._run_iterations(
                 state.msgs, state.llr, state.syn, tables, k
             )
             iters_done = state.iters_done + k
@@ -232,7 +276,7 @@ class LDPCDecoder:
                 pool_values, pool_syn, frame_ids, has_new,
                 state.llr, state.syn,
             )
-            fresh_msgs = ops.init_messages(llr, tables, dtype=msg_dtype)
+            fresh_msgs = self._init_messages(llr, tables, dtype=msg_dtype)
             msgs = jnp.where(has_new[None, :], fresh_msgs, msgs)
             iters_done = jnp.where(done, 0, iters_done)
 
@@ -411,7 +455,7 @@ class LDPCDecoder:
         llr = self.channel.llr_from_channel(vals)
         llr = jnp.where(self.tables.erased_mask_sorted, 0.0, llr)
         syn = jnp.take(pool_syn, safe, axis=1)
-        msgs = ops.init_messages(llr, self.tables, dtype=self.msg_dtype)
+        msgs = self._init_messages(llr, self.tables, dtype=self.msg_dtype)
         return DecodeState(
             msgs=msgs,
             llr=llr,

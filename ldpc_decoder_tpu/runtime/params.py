@@ -26,6 +26,9 @@ class StaticParams:
     memory_headroom: float = 0.10
     # override detected per-device HBM bytes (None = autodetect)
     device_memory_bytes: int | None = None
+    # kernel implementation for QC codes: "auto" (fused Pallas kernels when
+    # the base matrix is regular, else XLA), "pallas", or "xla"
+    kernel_impl: str = "auto"
 
 
 @dataclass

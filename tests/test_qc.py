@@ -1,0 +1,138 @@
+"""QC-LDPC: structure generation, alist round-trip, and decode-path
+equivalence between the rotation-based fast path and the general path."""
+
+import numpy as np
+import pytest
+
+from ldpc_decoder_tpu.channels import BIAWGNChannel
+from ldpc_decoder_tpu.codes.code import compute_syndrome
+from ldpc_decoder_tpu.codes.compiled import compile_code
+from ldpc_decoder_tpu.codes.qc import (
+    QCStructure,
+    load_qc_alist,
+    make_qc_code,
+    make_qc_structure,
+    qc_to_code,
+    write_qc_alist,
+)
+from ldpc_decoder_tpu.runtime.datagen import create_data
+from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+BASE_36 = np.ones((3, 6), dtype=np.int8)
+
+
+def test_qc_structure_properties():
+    s = make_qc_structure(BASE_36, Z=64, seed=0)
+    assert s.n_base_edges == 18
+    np.testing.assert_array_equal(s.row_degrees(), [6, 6, 6])
+    np.testing.assert_array_equal(s.col_degrees(), [3] * 6)
+
+
+def test_qc_code_expansion():
+    s = make_qc_structure(BASE_36, Z=32, seed=1)
+    code = qc_to_code(s)
+    assert code.n_vars == 192 and code.n_checks == 96
+    assert code.n_edges == 18 * 32
+    np.testing.assert_array_equal(code.var_degrees, np.full(192, 3))
+    np.testing.assert_array_equal(code.check_degrees, np.full(96, 6))
+    # adjacency honors the lift rule: check (r,z) ~ var (c, (z+s)%Z)
+    Z = 32
+    S = {(r, c): sh for r, c, sh in zip(s.edge_row, s.edge_col, s.edge_shift)}
+    for check in [0, 17, 95]:
+        r, z = divmod(check, Z)
+        nbrs = set(
+            code.out_edge_to_in_bit[
+                code.out_bit_to_edge[check] : code.out_bit_to_edge[check + 1]
+            ].tolist()
+        )
+        expect = {c * Z + (z + S[(r, c)]) % Z for (rr, c) in S if rr == r}
+        assert nbrs == expect
+
+
+def test_qc_no_4cycles():
+    s = make_qc_structure(BASE_36, Z=128, seed=2)
+    code = qc_to_code(s)
+    # brute-force: any two checks share at most one variable
+    rows = [
+        set(
+            code.out_edge_to_in_bit[
+                code.out_bit_to_edge[c] : code.out_bit_to_edge[c + 1]
+            ].tolist()
+        )
+        for c in range(code.n_checks)
+    ]
+    import itertools
+
+    for a, b in itertools.combinations(range(len(rows)), 2):
+        assert len(rows[a] & rows[b]) <= 1
+
+
+def test_qc_alist_roundtrip_with_headers(tmp_path):
+    code, s = make_qc_code(BASE_36, Z=32, seed=3)
+    path = str(tmp_path / "qc.alist")
+    write_qc_alist(code, s, path)
+    code2, s2 = load_qc_alist(path)
+    assert s2 is not None and s2.Z == 32
+    np.testing.assert_array_equal(s.edge_shift, s2.edge_shift)
+    np.testing.assert_array_equal(
+        code.out_edge_to_in_bit, code2.out_edge_to_in_bit
+    )
+
+
+def test_qc_decode_matches_general_path():
+    code, s = make_qc_code(BASE_36, Z=64, seed=4)
+    ch = BIAWGNChannel(0.75)
+    sp = StaticParams(max_log_parallel_factor_user=3)
+    dyn = DynamicParams(num_iter_max=40, num_iter_check_parity=5,
+                        loading_factor=2)
+    dec_gen = LDPCDecoder(code, ch, sp)
+    dec_qc = LDPCDecoder(code, ch, sp, qc=s)
+    n = dec_gen.parallel_factor() * dyn.loading_factor
+    batch = create_data(code, ch, 0, n)
+    res_gen, st_gen = dec_gen.decode(dyn, n, batch.values, batch.syndromes)
+    res_qc, st_qc = dec_qc.decode(dyn, n, batch.values, batch.syndromes)
+    np.testing.assert_array_equal(res_gen, res_qc)
+    np.testing.assert_array_equal(st_gen.iterations, st_qc.iterations)
+
+
+def test_qc_decode_corrects_errors():
+    code, s = make_qc_code(BASE_36, Z=256, seed=5)  # 1536-bit code
+    ch = BIAWGNChannel(0.7)
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=3),
+                      qc=s)
+    dyn = DynamicParams(num_iter_max=50, num_iter_check_parity=10,
+                        loading_factor=2)
+    n = dec.parallel_factor() * dyn.loading_factor
+    batch = create_data(code, ch, 0, n)
+    results, stats = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum(axis=1)
+    assert errors.sum() == 0
+
+
+def test_qc_device_pool_and_decode():
+    """QC path with fully on-device datagen."""
+    from ldpc_decoder_tpu.runtime.datagen_device import (
+        count_bit_errors,
+        create_pool_device,
+    )
+
+    code, s = make_qc_code(BASE_36, Z=64, seed=6)
+    ch = BIAWGNChannel(0.7)
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=3),
+                      qc=s)
+    dyn = DynamicParams(num_iter_max=50, num_iter_check_parity=5,
+                        loading_factor=1)
+    n = 32
+    pool = create_pool_device(dec.cc, dec.tables, ch, 0, n)
+    # cross-check device syndrome against numpy on the QC tables
+    batch = create_data(code, ch, 0, n)
+    np.testing.assert_array_equal(
+        np.asarray(pool.syn_sorted),
+        batch.syndromes[np.asarray(dec.tables.cn_order)],
+    )
+    results, _ = dec.decode_presorted(
+        dyn, n, pool.values_sorted, pool.syn_sorted, fetch_results=False
+    )
+    errors = np.asarray(count_bit_errors(results, pool.ref_packed))
+    assert errors.sum() == 0
