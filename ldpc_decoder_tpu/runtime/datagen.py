@@ -72,12 +72,30 @@ def create_data(
     start_index: int,
     n_frames: int,
     batch_index: int = 0,
+    backend: str = "auto",
 ) -> FrameBatch:
-    """Generate one decode batch, reference-stream exact."""
+    """Generate one decode batch, reference-stream exact.
+
+    ``backend``: "native" (C++ extension), "numpy", or "auto" (native when
+    the extension builds, numpy otherwise). Both produce the same streams;
+    channel values may differ in the last ulp (libm vs numpy transcendentals).
+    """
     vec_start = start_index + batch_index * n_frames
-    ref_bits = generate_reference_bits(code.n_vars, vec_start, n_frames)
     transmitted = code.n_vars - code.n_erased_vars
 
+    if backend == "auto":
+        from ldpc_decoder_tpu import native
+
+        backend = "native" if (
+            native.available()
+            and channel.channel_type in ("awgn", "bsc")
+        ) else "numpy"
+
+    if backend == "native":
+        return _create_data_native(code, channel, vec_start, n_frames,
+                                   transmitted)
+
+    ref_bits = generate_reference_bits(code.n_vars, vec_start, n_frames)
     values = np.zeros((code.n_vars, n_frames), dtype=np.float32)
     prng = PrngChacha(0)
     tx_all = np.where(ref_bits[:transmitted] > 0, 1.0, -1.0).astype(
@@ -88,4 +106,31 @@ def create_data(
         values[:transmitted, v] = channel.add_noise_np(prng, tx_all[:, v])
 
     syndromes = compute_syndrome(code, ref_bits)
+    return FrameBatch(ref_bits=ref_bits, values=values, syndromes=syndromes)
+
+
+def _create_data_native(code: LDPCCode, channel: Channel, vec_start: int,
+                        n_frames: int, transmitted: int) -> FrameBatch:
+    """Native (C++/OpenMP) create_data: same streams, parallel over frames."""
+    from ldpc_decoder_tpu import native
+
+    n_groups = (n_frames + 31) // 32
+    ref_words = native.gen_ref_words(vec_start, code.n_vars, n_groups)
+
+    values = np.zeros((code.n_vars, n_frames), dtype=np.float32)
+    param = channel.sigma if channel.channel_type == "awgn" else channel.p
+    native.add_noise(channel.channel_type, param, vec_start, ref_words,
+                     transmitted, n_frames, values)
+
+    syn_words = native.compute_syndrome_words(
+        code.out_bit_to_edge.astype(np.int64), code.out_edge_to_in_bit,
+        ref_words)
+
+    shifts = np.arange(32, dtype=np.uint32)
+    ref_bits = (
+        (ref_words[:, :, None] >> shifts[None, None]) & np.uint32(1)
+    ).astype(np.int8).reshape(code.n_vars, n_groups * 32)[:, :n_frames]
+    syndromes = (
+        (syn_words[:, :, None] >> shifts[None, None]) & np.uint32(1)
+    ).astype(np.int8).reshape(code.n_checks, n_groups * 32)[:, :n_frames]
     return FrameBatch(ref_bits=ref_bits, values=values, syndromes=syndromes)
