@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_MBPS = 200.276  # README.md:106
 ALIST = os.path.join(os.path.dirname(__file__), "codes_cache",
-                     "bench_qc36_awgn_r05_1044480.alist")
+                     "bench_qc36_awgn_r05_1044480_seam.alist")
 
 
 def log(msg):
@@ -45,9 +45,11 @@ def get_code():
         code, s = load_qc_alist(ALIST)
         if s is not None:
             return code, s
-    log("generating ~2^20-bit rate-0.5 QC code (seed 1)...")
+    log("generating ~2^20-bit rate-0.5 QC code (seed 1, seam lattice)...")
     base = np.ones((3, 6), dtype=np.int8)
-    code, s = make_qc_code(base, Z=174080, seed=1)
+    # shifts on the 2048-coarse seam lattice: the Pallas kernels fetch one
+    # aligned 2048-row tile + two 8-row halos per rotated window
+    code, s = make_qc_code(base, Z=174080, seed=1, coarse=2048, fine_mod=4)
     os.makedirs(os.path.dirname(ALIST), exist_ok=True)
     write_qc_alist(code, s, ALIST)
     return code, s

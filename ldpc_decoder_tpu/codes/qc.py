@@ -108,14 +108,35 @@ def _has_4cycle(structure: QCStructure) -> bool:
 
 
 def make_qc_structure(
-    base: np.ndarray, Z: int, seed: int = 0, max_tries: int = 200
+    base: np.ndarray, Z: int, seed: int = 0, max_tries: int = 200,
+    coarse: int | None = None, fine_mod: int = 4,
 ) -> QCStructure:
-    """Random circulant shifts for a 0/1 base matrix, rejecting 4-cycles."""
+    """Random circulant shifts for a 0/1 base matrix, rejecting 4-cycles.
+
+    When ``coarse`` is given (hardware/kernel co-design, see
+    ops/qc_pallas.py "seam mode"), shifts are drawn on the lattice
+    ``s = a*coarse + b (mod Z)`` with ``|b| < fine_mod``: the Pallas kernels
+    then fetch one aligned tile plus two tiny halo blocks per rotated
+    window (for any tile size dividing ``coarse``) instead of a full tile
+    pair. The fine ±b parts keep the graph connected and act as an extra
+    short-cycle sieve (a cycle's coarse parts sum to a multiple of the
+    tile, so its fine parts must cancel exactly).
+    """
     base = np.asarray(base)
     rows, cols = np.nonzero(base)
     rng = np.random.default_rng(seed)
+    if coarse is not None:
+        if Z % coarse:
+            raise ValueError(f"Z={Z} not divisible by coarse={coarse}")
+        if not 1 <= fine_mod <= coarse // 2:
+            raise ValueError("fine_mod must be in [1, coarse/2]")
     for _ in range(max_tries):
-        shifts = rng.integers(0, Z, size=rows.shape[0]).astype(np.int32)
+        if coarse is None:
+            shifts = rng.integers(0, Z, size=rows.shape[0]).astype(np.int32)
+        else:
+            a = rng.integers(0, Z // coarse, size=rows.shape[0])
+            b = rng.integers(-(fine_mod - 1), fine_mod, size=rows.shape[0])
+            shifts = ((a * coarse + b) % Z).astype(np.int32)
         s = QCStructure(
             Z=Z,
             n_base_rows=base.shape[0],
@@ -176,9 +197,11 @@ def qc_to_code(structure: QCStructure, n_erased_vars: int = 0) -> LDPCCode:
 
 
 def make_qc_code(
-    base: np.ndarray, Z: int, seed: int = 0, n_erased_vars: int = 0
+    base: np.ndarray, Z: int, seed: int = 0, n_erased_vars: int = 0,
+    coarse: int | None = None, fine_mod: int = 4,
 ) -> tuple[LDPCCode, QCStructure]:
-    structure = make_qc_structure(base, Z, seed)
+    structure = make_qc_structure(base, Z, seed, coarse=coarse,
+                                  fine_mod=fine_mod)
     return qc_to_code(structure, n_erased_vars), structure
 
 

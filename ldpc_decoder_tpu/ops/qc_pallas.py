@@ -6,15 +6,32 @@ CUDA kernels, flood.cu:77-189, but designed for the TPU memory system):
 - Messages are stored in *variable order* ``msgs_v [C, d_v, Z, B]`` —
   written aligned by the VN kernel, read rotated by the CN kernel; the
   CN->VN messages ``r_c [R, d_c, Z, B]`` are written aligned by the CN
-  kernel and read rotated by the VN kernel. Rotated reads use the
-  tile-pair trick: a window starting at arbitrary offset ``j*T + s`` within
-  a circulant is covered by two consecutive T-row tiles, fetched through
-  the normal Pallas pipeline via scalar-prefetched index maps (so they are
-  double-buffered and overlap compute), then cut out with one dynamic-start
-  static-size slice in VMEM. No gathers, no scalar DMAs.
-- Each kernel fuses rotation + node update + φ into a single pass, so one
-  BP iteration touches HBM ~4x the message volume (the XLA path
-  materializes ~8 intermediates and pays latency-bound row gathers).
+  kernel and read rotated by the VN kernel.
+- Each kernel fuses rotation + node update + φ into a single pass.
+
+Rotated reads come in two flavours, chosen per code:
+
+* **Seam mode** (``seam > 0``, the fast path): the code generator constrains
+  every circulant shift to ``s ≡ b (mod tile)`` with ``|b| < seam`` (signed),
+  see :func:`codes.qc.make_qc_structure`'s granularity parameters. A rotated
+  T-row window then overlaps one aligned tile plus at most ``seam`` rows of
+  each neighbour, so the kernel fetches one T-row tile and two seam-row halo
+  blocks per slot (≈3% extra HBM traffic) instead of a full tile pair (100%
+  extra). This is hardware/code co-design: the shift lattice is chosen for
+  the TPU memory system, and the fine ±b components still break graph
+  symmetry (any short cycle needs its fine parts to cancel *exactly*, since
+  coarse parts are multiples of the tile — so the restriction also acts as a
+  cycle sieve).
+* **Pair mode** (``seam == 0``, the general path): arbitrary shifts; a
+  window starting anywhere within a circulant is covered by two consecutive
+  T-row tiles fetched through the normal Pallas pipeline via
+  scalar-prefetched index maps, then cut out with one dynamic-start
+  static-size slice in VMEM.
+
+In both modes the dynamic-start slice goes through an f32 VMEM scratch:
+Mosaic has no value-level dynamic_slice, and dynamic sublane offsets are
+not supported for packed dtypes (bf16) — the upcast is needed for compute
+anyway.
 
 v1 scope: single check degree and single variable degree (regular base
 matrices). Irregular bases decode through ops/qc_decode.py (XLA) until the
@@ -35,6 +52,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, TAYLOR_LIMIT
 from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
 
+SEAM = 8  # halo rows per side in seam mode (f32 sublane granule)
+
 
 def _phi_abs_f32(x):
     xm = jnp.maximum(x, jnp.float32(PRE_THRESHOLD))
@@ -42,10 +61,16 @@ def _phi_abs_f32(x):
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
 
+def _signed_fine(s: np.ndarray, tile: int, seam: int) -> np.ndarray:
+    """s mod tile, mapped to the signed window (-tile/2, tile/2]."""
+    b = s % tile
+    return np.where(b > tile // 2, b - tile, b)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "cn_read",  # [R, d_c, 3] int32: (src col, src slot-free?, ...)
+        "cn_read",
         "vn_read",
         "vn_pos",
         "vn_order",
@@ -53,11 +78,18 @@ def _phi_abs_f32(x):
         "erased_mask_sorted",
     ],
     meta_fields=["n_vars", "n_checks", "n_edges", "Z", "C", "R", "d_v",
-                 "d_c", "tile"],
+                 "d_c", "tile", "seam"],
 )
 @dataclasses.dataclass(frozen=True)
 class QCPallasTables:
-    """Static + prefetch tables for the fused kernels (regular base)."""
+    """Static + prefetch tables for the fused kernels (regular base).
+
+    ``cn_read[r, k]`` / ``vn_read[c, i]`` = (src_node, src_slot, tile_off,
+    fine): reading slot k of node r means taking the window of
+    ``src[src_node, src_slot]`` rotated by its circulant shift; ``tile_off``
+    is the coarse tile offset and ``fine`` the in-scratch slice start
+    (seam mode: ``seam + b``; pair mode: ``s % tile``).
+    """
 
     n_vars: int
     n_checks: int
@@ -68,13 +100,10 @@ class QCPallasTables:
     d_v: int
     d_c: int
     tile: int  # T — rows per pipeline tile; Z % T == 0
+    seam: int  # SEAM (halo mode) or 0 (tile-pair mode)
 
-    # cn_read[r, k] = (src_col, src_slot, s_tile, s_fine) for reading
-    # msgs_v rotated by +s ; [R, d_c, 4] int32
-    cn_read: jnp.ndarray
-    # vn_read[c, i] = (src_row, src_slot, s_tile, s_fine) for reading
-    # r_c rotated by -s ; [C, d_v, 4] int32
-    vn_read: jnp.ndarray
+    cn_read: jnp.ndarray  # [R, d_c, 4] int32
+    vn_read: jnp.ndarray  # [C, d_v, 4] int32
 
     # 2-D runtime interface (same duck type as QCDecodeTables)
     vn_pos: jnp.ndarray
@@ -95,49 +124,74 @@ class QCPallasTables:
         R = t.row_groups[0].count
         C = t.col_groups[0].count
         Z = t.Z
+
+        vn_of_cn = np.asarray(t.vn_of_cn)
+        cn_of_vn = np.asarray(t.cn_of_vn)
+        cn_shift = np.asarray(t.cn_shift).astype(np.int64)
+        u = vn_of_cn.reshape(R, d_c)
+        s_cn = cn_shift.reshape(R, d_c)  # CN reads msgs_v rotated +s
+        tt = cn_of_vn.reshape(C, d_v)
+        s_vn = (-cn_shift[cn_of_vn].reshape(C, d_v)) % Z  # VN reads -s
+
+        # seam mode: the largest tile dividing Z for which every shift's
+        # signed fine part fits in (-SEAM, SEAM)
+        def seam_tables(T):
+            NT = Z // T
+
+            def tab(srcs, slots, s):
+                b = _signed_fine(s, T, SEAM)
+                if np.abs(b).max() >= SEAM:
+                    return None
+                c = ((s - b) // T) % NT
+                return np.stack(
+                    [srcs, slots, c.astype(np.int64), SEAM + b], axis=-1
+                ).astype(np.int32)
+
+            cn = tab(u // d_v, u % d_v, s_cn)
+            vn = tab(tt // d_c, tt % d_c, s_vn)
+            if cn is None or vn is None:
+                return None
+            return cn, vn
+
+        # largest tile whose double-buffered blocks fit the 16 MiB scoped
+        # VMEM budget (d=6, lb=128, bf16: ~8.5 MiB at T=1024)
+        cand = 1024
+        while cand >= 128:
+            if Z % cand == 0:
+                st = seam_tables(cand)
+                if st is not None:
+                    return QCPallasTables(
+                        n_vars=t.n_vars, n_checks=t.n_checks,
+                        n_edges=t.n_edges, Z=Z, C=C, R=R, d_v=d_v, d_c=d_c,
+                        tile=cand, seam=SEAM,
+                        cn_read=jnp.asarray(st[0]),
+                        vn_read=jnp.asarray(st[1]),
+                        vn_pos=t.vn_pos, vn_order=t.vn_order,
+                        cn_order=t.cn_order,
+                        erased_mask_sorted=t.erased_mask_sorted,
+                    )
+            cand //= 2
+
+        # pair mode fallback (arbitrary shifts)
         if tile is None:
-            # VMEM budget: 2*d_c tile-pair input buffers, double-buffered,
-            # plus the d-deep output block and the f32 staging scratch
             tile = 512
         while Z % tile:
             tile //= 2
         if tile < 32:
             raise ValueError(f"Z={Z} has no usable tile divisor (>=32)")
-
-        vn_of_cn = np.asarray(t.vn_of_cn)
-        cn_of_vn = np.asarray(t.cn_of_vn)
-        cn_shift = np.asarray(t.cn_shift).astype(np.int64)
         Zt = Z // tile
 
-        # CN kernel reads msgs_v[(col, slot)] rows [j*T + s ...)
-        u = vn_of_cn.reshape(R, d_c)
-        s = cn_shift.reshape(R, d_c)
-        cn_read = np.stack(
-            [u // d_v, u % d_v, (s // tile) % Zt, s % tile], axis=-1
-        ).astype(np.int32)
-
-        # VN kernel reads r_c[(row, slot)] rows [j*T - s ...)
-        tt = cn_of_vn.reshape(C, d_v)
-        s2 = (-cn_shift[cn_of_vn].reshape(C, d_v)) % Z
-        vn_read = np.stack(
-            [tt // d_c, tt % d_c, (s2 // tile) % Zt, s2 % tile], axis=-1
-        ).astype(np.int32)
+        def pair_tab(srcs, slots, s):
+            return np.stack(
+                [srcs, slots, (s // tile) % Zt, s % tile], axis=-1
+            ).astype(np.int32)
 
         return QCPallasTables(
-            n_vars=t.n_vars,
-            n_checks=t.n_checks,
-            n_edges=t.n_edges,
-            Z=Z,
-            C=C,
-            R=R,
-            d_v=d_v,
-            d_c=d_c,
-            tile=tile,
-            cn_read=jnp.asarray(cn_read),
-            vn_read=jnp.asarray(vn_read),
-            vn_pos=t.vn_pos,
-            vn_order=t.vn_order,
-            cn_order=t.cn_order,
+            n_vars=t.n_vars, n_checks=t.n_checks, n_edges=t.n_edges,
+            Z=Z, C=C, R=R, d_v=d_v, d_c=d_c, tile=tile, seam=0,
+            cn_read=jnp.asarray(pair_tab(u // d_v, u % d_v, s_cn)),
+            vn_read=jnp.asarray(pair_tab(tt // d_c, tt % d_c, s_vn)),
+            vn_pos=t.vn_pos, vn_order=t.vn_order, cn_order=t.cn_order,
             erased_mask_sorted=t.erased_mask_sorted,
         )
 
@@ -155,52 +209,94 @@ def _lane_block(B: int) -> int:
     return LANE_BLOCK if B % LANE_BLOCK == 0 else B
 
 
-def _rot_in_specs(d: int, read_tab_idx: int, tile: int, n_tiles: int,
-                  lb: int):
-    """2d BlockSpecs reading tile pairs of a [N0, N1, Z, B] array, rotated
-    per the prefetch table (arg index ``read_tab_idx`` among the scalar
-    prefetch refs). Grid = (nodes, z-tiles, lane-blocks)."""
-    specs = []
-    for k in range(d):
-        for which in (0, 1):
-            def index_map(i, j, l, *refs, _k=k, _w=which):
-                tab = refs[read_tab_idx]
-                t0 = tab[i, _k, 2] + j + _w
-                return (tab[i, _k, 0], tab[i, _k, 1], t0 % n_tiles, l)
+def _rot_in_specs(d: int, tile: int, n_tiles: int, lb: int, seam: int):
+    """BlockSpecs reading the rotated windows of a [N0, N1, Z, B] array per
+    the scalar-prefetch table (arg 0). Grid = (nodes, z-tiles, lane-blocks).
 
-            specs.append(
-                pl.BlockSpec((1, 1, tile, lb), index_map,
-                             memory_space=pltpu.VMEM)
-            )
+    Seam mode: 3 specs/slot — prev-halo [seam rows], main [tile rows],
+    next-halo [seam rows]. Pair mode: 2 specs/slot — consecutive tiles.
+    """
+    specs = []
+    n_halo = tile // seam if seam else 0
+    for k in range(d):
+        if seam:
+            def prev_map(i, j, l, tab, _k=k):
+                m = (tab[i, _k, 2] + j - 1) % n_tiles
+                return (tab[i, _k, 0], tab[i, _k, 1],
+                        m * n_halo + (n_halo - 1), l)
+
+            def main_map(i, j, l, tab, _k=k):
+                return (tab[i, _k, 0], tab[i, _k, 1],
+                        (tab[i, _k, 2] + j) % n_tiles, l)
+
+            def next_map(i, j, l, tab, _k=k):
+                m = (tab[i, _k, 2] + j + 1) % n_tiles
+                return (tab[i, _k, 0], tab[i, _k, 1], m * n_halo, l)
+
+            specs.append(pl.BlockSpec((1, 1, seam, lb), prev_map,
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec((1, 1, tile, lb), main_map,
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec((1, 1, seam, lb), next_map,
+                                      memory_space=pltpu.VMEM))
+        else:
+            for which in (0, 1):
+                def index_map(i, j, l, tab, _k=k, _w=which):
+                    t0 = tab[i, _k, 2] + j + _w
+                    return (tab[i, _k, 0], tab[i, _k, 1], t0 % n_tiles, l)
+
+                specs.append(
+                    pl.BlockSpec((1, 1, tile, lb), index_map,
+                                 memory_space=pltpu.VMEM)
+                )
     return specs
 
 
-def _window(refs, k: int, tab_ref, i, tile: int, pair_scratch):
-    """Cut the rotated T-row window of slot k out of its tile pair.
+def _refs_per_slot(seam: int) -> int:
+    return 3 if seam else 2
 
-    Mosaic has no value-level dynamic_slice; stage the pair through a VMEM
+
+def _window(refs, k: int, tab_ref, i, tile: int, seam: int, pair_scratch):
+    """Cut the rotated T-row window of slot k out of its fetched blocks.
+
+    Mosaic has no value-level dynamic_slice; stage the blocks through a VMEM
     scratch ref and use dynamic-start ref indexing instead. The scratch is
     always f32: dynamic sublane offsets are not supported for packed dtypes
     (bf16), and the upcast is needed for compute anyway.
     """
-    pair_scratch[0:tile] = refs[2 * k][0, 0].astype(jnp.float32)
-    pair_scratch[tile : 2 * tile] = refs[2 * k + 1][0, 0].astype(jnp.float32)
+    if seam:
+        prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
+        pair_scratch[0:seam] = prev[0, 0].astype(jnp.float32)
+        pair_scratch[seam : seam + tile] = main[0, 0].astype(jnp.float32)
+        pair_scratch[seam + tile : 2 * seam + tile] = (
+            nxt[0, 0].astype(jnp.float32)
+        )
+    else:
+        pair_scratch[0:tile] = refs[2 * k][0, 0].astype(jnp.float32)
+        pair_scratch[tile : 2 * tile] = (
+            refs[2 * k + 1][0, 0].astype(jnp.float32)
+        )
     s_fine = tab_ref[i, k, 3]
     return pair_scratch[pl.ds(s_fine, tile), :]
 
 
-def _cn_kernel(tab_ref, *refs, d_c: int, tile: int):
+def _scratch_rows(tile: int, seam: int) -> int:
+    return tile + 2 * seam if seam else 2 * tile
+
+
+def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int):
     """Check-node update (flood_backward) with rotated reads.
 
-    refs = 2*d_c message tile-pairs, syndrome tile, output [1, d_c, T, B],
-    scratch pair [2T, B].
+    refs = d_c slots' message blocks, syndrome tile, output [1, d_c, T, B],
+    scratch.
     """
-    syn_ref = refs[2 * d_c]
-    out_ref = refs[2 * d_c + 1]
-    pair_scratch = refs[2 * d_c + 2]
+    rps = _refs_per_slot(seam)
+    syn_ref = refs[rps * d_c]
+    out_ref = refs[rps * d_c + 1]
+    pair_scratch = refs[rps * d_c + 2]
     i = pl.program_id(0)
     m = [
-        _window(refs, k, tab_ref, i, tile, pair_scratch)
+        _window(refs, k, tab_ref, i, tile, seam, pair_scratch)
         for k in range(d_c)
     ]
     a = [jnp.abs(x) for x in m]
@@ -217,25 +313,28 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int):
         out_ref[0, k] = jnp.where(is_neg, -res, res).astype(out_ref.dtype)
 
 
-def _vn_kernel(tab_ref, *refs, d_v: int, tile: int):
+def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
+               emit_totals: bool):
     """Variable-node update (flood_forward) with rotated reads.
 
-    refs = 2*d_v r_c tile-pairs, llr tile, then out refs
-    (msgs_v [1, d_v, T, B], totals [1, T, B]).
+    refs = d_v slots' r_c blocks, llr tile, then out refs
+    (msgs_v [1, d_v, T, B] and, when emit_totals, totals [1, T, B] f32).
     """
-    llr_ref = refs[2 * d_v]
-    out_msgs = refs[2 * d_v + 1]
-    out_totals = refs[2 * d_v + 2]
-    pair_scratch = refs[2 * d_v + 3]
+    rps = _refs_per_slot(seam)
+    llr_ref = refs[rps * d_v]
+    out_msgs = refs[rps * d_v + 1]
+    out_totals = refs[rps * d_v + 2] if emit_totals else None
+    pair_scratch = refs[rps * d_v + 2 + (1 if emit_totals else 0)]
     i = pl.program_id(0)
     r = [
-        _window(refs, k, tab_ref, i, tile, pair_scratch)
+        _window(refs, k, tab_ref, i, tile, seam, pair_scratch)
         for k in range(d_v)
     ]
     total = llr_ref[0].astype(jnp.float32)
     for x in r:
         total = total + x
-    out_totals[0] = total
+    if emit_totals:
+        out_totals[0] = total
     for k in range(d_v):
         pre = total - r[k]
         out_msgs[0, k] = jnp.copysign(
@@ -248,10 +347,11 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables):
     T, Z, B = tables.tile, tables.Z, msgs_v.shape[-1]
     NT = Z // T
     lb = _lane_block(B)
+    rps = _refs_per_slot(tables.seam)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tables.R, NT, B // lb),
-        in_specs=_rot_in_specs(tables.d_c, 0, T, NT, lb)
+        in_specs=_rot_in_specs(tables.d_c, T, NT, lb, tables.seam)
         + [
             pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
                          memory_space=pltpu.VMEM),
@@ -261,52 +361,66 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables):
             lambda i, j, l, *_: (i, 0, j, l),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((2 * T, lb), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
+        ],
     )
     return pl.pallas_call(
-        partial(_cn_kernel, d_c=tables.d_c, tile=T),
+        partial(_cn_kernel, d_c=tables.d_c, tile=T, seam=tables.seam),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (tables.R, tables.d_c, Z, B), msgs_v.dtype
         ),
         interpret=_interpret(),
-    )(tables.cn_read, *([msgs_v] * (2 * tables.d_c)), syn3)
+    )(tables.cn_read, *([msgs_v] * (rps * tables.d_c)), syn3)
 
 
-def vn_pass(r_c, llr3, tables: QCPallasTables):
-    """r_c [R, d_c, Z, B], llr3 [C, Z, B] -> (msgs_v [C, d_v, Z, B],
-    totals [C, Z, B] f32)."""
+def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True):
+    """r_c [R, d_c, Z, B], llr3 [C, Z, B] -> msgs_v [C, d_v, Z, B]
+    (+ totals [C, Z, B] f32 when emit_totals)."""
     T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
     NT = Z // T
     lb = _lane_block(B)
+    rps = _refs_per_slot(tables.seam)
+    out_specs = [
+        pl.BlockSpec(
+            (1, tables.d_v, T, lb),
+            lambda i, j, l, *_: (i, 0, j, l),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tables.C, tables.d_v, Z, B), r_c.dtype),
+    ]
+    if emit_totals:
+        out_specs.append(
+            pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((tables.C, Z, B), jnp.float32)
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tables.C, NT, B // lb),
-        in_specs=_rot_in_specs(tables.d_v, 0, T, NT, lb)
+        in_specs=_rot_in_specs(tables.d_v, T, NT, lb, tables.seam)
         + [
             pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, tables.d_v, T, lb),
-                lambda i, j, l, *_: (i, 0, j, l),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
-                         memory_space=pltpu.VMEM),
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
         ],
-        scratch_shapes=[pltpu.VMEM((2 * T, lb), jnp.float32)],
     )
-    return pl.pallas_call(
-        partial(_vn_kernel, d_v=tables.d_v, tile=T),
+    out = pl.pallas_call(
+        partial(_vn_kernel, d_v=tables.d_v, tile=T, seam=tables.seam,
+                emit_totals=emit_totals),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((tables.C, tables.d_v, Z, B), r_c.dtype),
-            jax.ShapeDtypeStruct((tables.C, Z, B), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(tables.vn_read, *([r_c] * (2 * tables.d_v)), llr3)
+    )(tables.vn_read, *([r_c] * (rps * tables.d_v)), llr3)
+    return out if emit_totals else (out[0], None)
 
 
 def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
@@ -325,20 +439,30 @@ def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
 @partial(jax.jit, static_argnames=("k",))
 def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
                              k: int):
-    """2-D-interface twin of ops.decode.run_iterations (msgs in VN layout)."""
+    """2-D-interface twin of ops.decode.run_iterations (msgs in VN layout).
+
+    The k-iteration superstep: k-1 light iterations (messages only), then a
+    final iteration that also emits totals for the hard decision — totals
+    are only consumed every k iterations, so writing them each iteration
+    would waste one f32 n_vars-sized HBM pass per iteration.
+    """
     B = msgs2d.shape[-1]
     Z, C, R = tables.Z, tables.C, tables.R
     msgs = msgs2d.reshape(C, tables.d_v, Z, B)
-    llr = llr2d.reshape(C, Z, B)
+    # channel LLRs are consumed in the message dtype (the reference's fp16
+    # path stores fp16 LLRs, common.h:13-34); bf16 halves the VN pass's
+    # channel-term traffic
+    llr = llr2d.reshape(C, Z, B).astype(msgs.dtype)
     syn = syn2d.reshape(R, Z, B)
 
-    def body(_, carry):
-        m, _ = carry
+    def body(_, m):
         r_c = cn_pass(m, syn, tables)
-        return vn_pass(r_c, llr, tables)
+        m2, _ = vn_pass(r_c, llr, tables, emit_totals=False)
+        return m2
 
-    totals0 = jnp.zeros((C, Z, B), jnp.float32)
-    msgs, totals = jax.lax.fori_loop(0, k, body, (msgs, totals0))
+    msgs = jax.lax.fori_loop(0, k - 1, body, msgs)
+    r_c = cn_pass(msgs, syn, tables)
+    msgs, totals = vn_pass(r_c, llr, tables, emit_totals=True)
     bits = (~jnp.signbit(totals)).astype(jnp.int8)
     violated = _parity(bits, syn, tables)
     return (
@@ -348,16 +472,21 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     )
 
 
+def _shift_of(read_tab, tables: QCPallasTables):
+    """Reconstruct absolute rotations from a read table (both modes)."""
+    T = tables.tile
+    if tables.seam:
+        s = read_tab[..., 2] * T + (read_tab[..., 3] - tables.seam)
+    else:
+        s = read_tab[..., 2] * T + read_tab[..., 3]
+    return s % tables.Z
+
+
 def _parity(bits, syn, tables: QCPallasTables):
     """Parity flags via rotated reads of the (cheap, int8) bits array —
     reuses the XLA roll path; runs once per k iterations."""
-    # bits [C, Z, B] -> per cn block: roll(bits[col], -s)
     col = tables.cn_read[..., 0].reshape(-1)  # [R*d_c]
-    # reconstruct shift = s_tile*T + s_fine
-    s = (
-        tables.cn_read[..., 2].reshape(-1) * tables.tile
-        + tables.cn_read[..., 3].reshape(-1)
-    )
+    s = _shift_of(tables.cn_read, tables).reshape(-1)
     blocks = jnp.take(bits, col, axis=0)
     rolled = jax.vmap(lambda xb, sb: jnp.roll(xb, -sb, axis=0))(blocks, s)
     x = jnp.sum(
@@ -373,10 +502,7 @@ def syndrome_from_bits_qc_pallas(bits2d, tables: QCPallasTables):
     B = bits2d.shape[-1]
     bits = bits2d.reshape(tables.C, tables.Z, B)
     col = tables.cn_read[..., 0].reshape(-1)
-    s = (
-        tables.cn_read[..., 2].reshape(-1) * tables.tile
-        + tables.cn_read[..., 3].reshape(-1)
-    )
+    s = _shift_of(tables.cn_read, tables).reshape(-1)
     blocks = jnp.take(bits, col, axis=0)
     rolled = jax.vmap(lambda xb, sb: jnp.roll(xb, -sb, axis=0))(blocks, s)
     x = jnp.sum(

@@ -106,3 +106,47 @@ def test_device_pool_with_pallas_tables():
         np.asarray(pool.syn_sorted),
         batch.syndromes[np.asarray(dec.tables.cn_order)],
     )
+
+
+def test_seam_mode_tables_and_equivalence():
+    """Seam-lattice shifts select the halo kernels and match XLA exactly."""
+    import jax.numpy as jnp
+
+    from ldpc_decoder_tpu.ops.qc_pallas import QCPallasTables
+
+    code, s = make_qc_code(BASE_36, Z=1024, seed=6, coarse=256, fine_mod=4)
+    ch = BIAWGNChannel(0.8)
+    dec_pl, dec_xla = _decoders(code, s, ch)
+    t = dec_pl.tables
+    assert isinstance(t, QCPallasTables)
+    assert t.seam > 0 and t.tile == 256
+    n = 8
+    batch = create_data(code, ch, 0, n)
+    vn_order = np.asarray(t.vn_order)
+    cn_order = np.asarray(t.cn_order)
+    llr2d = jnp.asarray(ch.llr_np(batch.values)[vn_order][:, :n])
+    syn2d = jnp.asarray(batch.syndromes[cn_order][:, :n])
+    m_pl = dec_pl._init_messages(llr2d, t)
+    m_xla = dec_xla._init_messages(llr2d, dec_xla.tables)
+    for k in (1, 3):
+        m2, bits_pl, viol_pl = dec_pl._run_iterations(m_pl, llr2d, syn2d, t, k)
+        _, bits_xla, viol_xla = dec_xla._run_iterations(
+            m_xla, llr2d, syn2d, dec_xla.tables, k)
+        np.testing.assert_array_equal(np.asarray(bits_pl),
+                                      np.asarray(bits_xla))
+        np.testing.assert_array_equal(np.asarray(viol_pl),
+                                      np.asarray(viol_xla))
+
+
+def test_seam_mode_end_to_end():
+    code, s = make_qc_code(BASE_36, Z=512, seed=7, coarse=128, fine_mod=4)
+    ch = BIAWGNChannel(0.72)
+    dec_pl, _ = _decoders(code, s, ch)
+    assert dec_pl.tables.seam > 0
+    dyn = DynamicParams(num_iter_max=40, num_iter_check_parity=5,
+                        loading_factor=2)
+    n = dec_pl.parallel_factor() * dyn.loading_factor
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec_pl.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
