@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_MBPS = 200.276  # README.md:106
 ALIST = os.path.join(os.path.dirname(__file__), "codes_cache",
-                     "bench_qc36_awgn_r05_1044480_seam.alist")
+                     "bench_qc36_awgn_r05_1044480_g8.alist")
 
 
 def log(msg):
@@ -45,11 +45,16 @@ def get_code():
         code, s = load_qc_alist(ALIST)
         if s is not None:
             return code, s
-    log("generating ~2^20-bit rate-0.5 QC code (seed 1, seam lattice)...")
+    log("generating ~2^20-bit rate-0.5 QC code (seed 1, seam lattice, "
+        "girth 8)...")
     base = np.ones((3, 6), dtype=np.int8)
-    # shifts on the 2048-coarse seam lattice: the Pallas kernels fetch one
-    # aligned 2048-row tile + two 8-row halos per rotated window
-    code, s = make_qc_code(base, Z=174080, seed=1, coarse=2048, fine_mod=4)
+    # shifts on the 1024-coarse seam lattice with wide +-63 fine parts:
+    # the Pallas kernels fetch one aligned 1024-row tile + two 64-row
+    # halos per rotated window (~12.5% extra reads); the ~21.6k-point
+    # shift lattice is rich enough that rejection sampling reaches
+    # girth 8 (no 4- or 6-cycles)
+    code, s = make_qc_code(base, Z=174080, seed=1, coarse=1024,
+                           fine_mod=64, min_girth=8)
     os.makedirs(os.path.dirname(ALIST), exist_ok=True)
     write_qc_alist(code, s, ALIST)
     return code, s

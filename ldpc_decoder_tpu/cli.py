@@ -28,7 +28,8 @@ import argparse
 import sys
 
 from ldpc_decoder_tpu.channels import make_channel
-from ldpc_decoder_tpu.codes.code import LDPCCode
+from ldpc_decoder_tpu.codes.qc import load_qc_alist
+from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
 from ldpc_decoder_tpu.runtime.harness import do_test
 from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
@@ -65,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="iterations between parity checks/refills")
     p.add_argument("--memory-bytes", type=int, default=None,
                    help="override detected device memory")
+    p.add_argument("--algorithm", choices=["sum-product", "min-sum"],
+                   default="sum-product",
+                   help="check-node rule (min-sum: offset approximation, "
+                   "QC codes only, higher throughput)")
+    p.add_argument("--kernel", choices=["auto", "pallas", "xla"],
+                   default="auto", help="QC decode kernel implementation")
     return p
 
 
@@ -83,7 +90,9 @@ def main(argv=None) -> int:
     print(f"Code file name:{args.f}")
     try:
         channel = make_channel(args.c, args.n)
-        code = LDPCCode.from_alist(args.f)
+        # QC metadata headers (if present) select the rotation-based
+        # fast path; plain alists use the general gather path
+        code, qc = load_qc_alist(args.f)
     except (ValueError, OSError) as e:
         print(e)
         return 1
@@ -97,6 +106,8 @@ def main(argv=None) -> int:
         max_log_parallel_factor_user=args.p,
         message_dtype=args.dtype,
         device_memory_bytes=args.memory_bytes,
+        algorithm=args.algorithm,
+        kernel_impl=args.kernel,
     )
     dyn_p = DynamicParams(
         num_iter_max=args.i,
@@ -104,9 +115,10 @@ def main(argv=None) -> int:
         loading_factor=args.m,
         target_errors=target_errors,
     )
+    decoder = LDPCDecoder(code, channel, static_p, qc=qc)
     report = do_test(
         code, channel, args.r, static_p, dyn_p,
-        start_index=args.s, log_level=args.l,
+        start_index=args.s, log_level=args.l, decoder=decoder,
     )
     print(report.report, end="")
     return 0

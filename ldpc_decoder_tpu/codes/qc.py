@@ -107,9 +107,42 @@ def _has_4cycle(structure: QCStructure) -> bool:
     return False
 
 
+def _count_6cycles(structure: QCStructure) -> int:
+    """Number of base 6-cycle patterns whose shift condition closes
+    (each contributes Z six-cycles in the lifted graph). Patterns are
+    ordered (r1,c1,c2, r2,c3, r3) walks, so every cycle is counted a
+    constant number of times — fine for rejection/minimization."""
+    R, C, Z = structure.n_base_rows, structure.n_base_cols, structure.Z
+    S = np.full((R, C), -1, dtype=np.int64)
+    S[structure.edge_row, structure.edge_col] = structure.edge_shift
+    count = 0
+    from itertools import combinations, permutations
+
+    cols = np.arange(C)
+    for rows in combinations(range(R), 3):
+        for r1, r2, r3 in permutations(rows):
+            if (r1, r2, r3)[0] != min(r1, r2, r3):
+                continue  # fix rotation symmetry
+            # vectorize over ordered col triples (c1, c2, c3)
+            c1, c2, c3 = np.meshgrid(cols, cols, cols, indexing="ij")
+            distinct = (c1 != c2) & (c2 != c3) & (c1 != c3)
+            ok = (
+                (S[r1, c1] >= 0) & (S[r1, c2] >= 0)
+                & (S[r2, c2] >= 0) & (S[r2, c3] >= 0)
+                & (S[r3, c3] >= 0) & (S[r3, c1] >= 0)
+                & distinct
+            )
+            d = (
+                S[r1, c1] - S[r1, c2] + S[r2, c2] - S[r2, c3]
+                + S[r3, c3] - S[r3, c1]
+            ) % Z
+            count += int(((d == 0) & ok).sum())
+    return count
+
+
 def make_qc_structure(
     base: np.ndarray, Z: int, seed: int = 0, max_tries: int = 200,
-    coarse: int | None = None, fine_mod: int = 4,
+    coarse: int | None = None, fine_mod: int = 4, min_girth: int = 6,
 ) -> QCStructure:
     """Random circulant shifts for a 0/1 base matrix, rejecting 4-cycles.
 
@@ -145,11 +178,14 @@ def make_qc_structure(
             edge_col=cols.astype(np.int32),
             edge_shift=shifts,
         )
-        if not _has_4cycle(s):
-            return s
+        if _has_4cycle(s):
+            continue
+        if min_girth >= 8 and _count_6cycles(s) > 0:
+            continue
+        return s
     raise RuntimeError(
-        f"could not find 4-cycle-free shifts for Z={Z} "
-        f"(base too dense for this lift size)"
+        f"could not find girth-{min_girth} shifts for Z={Z} "
+        f"(base too dense for this lift size / lattice)"
     )
 
 
@@ -198,10 +234,10 @@ def qc_to_code(structure: QCStructure, n_erased_vars: int = 0) -> LDPCCode:
 
 def make_qc_code(
     base: np.ndarray, Z: int, seed: int = 0, n_erased_vars: int = 0,
-    coarse: int | None = None, fine_mod: int = 4,
+    coarse: int | None = None, fine_mod: int = 4, min_girth: int = 6,
 ) -> tuple[LDPCCode, QCStructure]:
     structure = make_qc_structure(base, Z, seed, coarse=coarse,
-                                  fine_mod=fine_mod)
+                                  fine_mod=fine_mod, min_girth=min_girth)
     return qc_to_code(structure, n_erased_vars), structure
 
 

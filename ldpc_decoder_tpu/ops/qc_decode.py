@@ -269,27 +269,104 @@ def syndrome_from_bits_qc(
     return jnp.concatenate(out).reshape(tables.n_checks, -1)
 
 
-def bp_iteration_qc(msgs, llr, syn, tables):
+def cn_update_qc_minsum(
+    msgs: jnp.ndarray,  # [nb, Z, B] LLR-domain messages, check order
+    syn: jnp.ndarray,  # [R, Z, B] int8, sorted row order
+    tables: QCDecodeTables,
+    beta: float,
+) -> jnp.ndarray:
+    """Offset min-sum check update: |out| = max(min_{other} |m| - β, 0).
+
+    The standard hardware-decoder approximation of the tanh rule (replaces
+    the reference's φ chain, flood.cu:88-114, with a two-minimum
+    leave-one-out); messages stay in the LLR domain.
+    """
+    out = []
+    syn_i = syn.astype(jnp.int32)
+    row = 0
+    for g in tables.row_groups:
+        nbk = g.count * g.degree
+        start = g.block_start
+        m = msgs[start : start + nbk].reshape(
+            g.count, g.degree, tables.Z, -1
+        ).astype(jnp.float32)
+        neg = jnp.signbit(m)
+        a = jnp.abs(m)
+        min1 = jnp.min(a, axis=1, keepdims=True)
+        pos = jnp.argmin(a, axis=1, keepdims=True)  # first minimum
+        k_idx = jnp.arange(g.degree)[None, :, None, None]
+        a_excl = jnp.where(k_idx == pos, jnp.inf, a)
+        min2 = jnp.min(a_excl, axis=1, keepdims=True)
+        other = jnp.where(k_idx == pos, min2, min1)
+        res = jnp.maximum(other - jnp.float32(beta), 0.0)
+        pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=1, keepdims=True)
+        sblk = syn_i[row : row + g.count][:, None]
+        parity = (sblk + pos_votes) & 1
+        is_neg = (neg.astype(jnp.int32) ^ parity) == 1
+        r = jnp.where(is_neg, -res, res).astype(msgs.dtype)
+        out.append(r.reshape(nbk, tables.Z, -1))
+        row += g.count
+    return jnp.concatenate(out, axis=0)
+
+
+def vn_update_qc_minsum(
+    r_v: jnp.ndarray,  # [nb, Z, B] variable-order CN->VN messages
+    llr: jnp.ndarray,  # [C, Z, B] sorted col order
+    tables: QCDecodeTables,
+    clamp: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Min-sum variable update: plain leave-one-out sums, clamped."""
+    msgs_out, totals_out = [], []
+    col = 0
+    for g in tables.col_groups:
+        nbk = g.count * g.degree
+        start = g.block_start
+        r = r_v[start : start + nbk].reshape(
+            g.count, g.degree, tables.Z, -1
+        ).astype(jnp.float32)
+        totals = llr[col : col + g.count].astype(jnp.float32) + jnp.sum(
+            r, axis=1
+        )
+        pre = totals[:, None] - r
+        m = jnp.clip(pre, -clamp, clamp).astype(r_v.dtype)
+        msgs_out.append(m.reshape(nbk, tables.Z, -1))
+        totals_out.append(totals)
+        col += g.count
+    return jnp.concatenate(msgs_out, axis=0), jnp.concatenate(totals_out)
+
+
+def bp_iteration_qc(msgs, llr, syn, tables, alg="sum-product", beta=0.0,
+                    clamp=64.0):
     """One flood iteration in QC layout. msgs check-order [nb, Z, B]."""
-    r_c = cn_update_qc(msgs, syn, tables)
-    r_v = cn_to_vn(r_c, tables)
-    m_v, totals = vn_update_qc(r_v, llr, tables)
+    if alg == "min-sum":
+        r_c = cn_update_qc_minsum(msgs, syn, tables, beta)
+        r_v = cn_to_vn(r_c, tables)
+        m_v, totals = vn_update_qc_minsum(r_v, llr, tables, clamp)
+    else:
+        r_c = cn_update_qc(msgs, syn, tables)
+        r_v = cn_to_vn(r_c, tables)
+        m_v, totals = vn_update_qc(r_v, llr, tables)
     return vn_to_cn(m_v, tables), totals
 
 
-def init_messages_qc(llr2d, tables, dtype=jnp.float32):
-    """[E, B] fresh messages: φ(llr) of each block's variable, rotated into
-    check order (flood_refill analog)."""
+def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product"):
+    """[E, B] fresh messages, rotated into check order (flood_refill
+    analog): φ(llr) for sum-product, llr itself for min-sum."""
     Z = tables.Z
     llr = llr2d.reshape(-1, Z, llr2d.shape[-1])
-    p = jnp.copysign(phi_abs(jnp.abs(llr)), llr).astype(dtype)
+    if alg == "min-sum":
+        p = llr.astype(dtype)
+    else:
+        p = jnp.copysign(phi_abs(jnp.abs(llr)), llr).astype(dtype)
     blocks = jnp.take(p, tables.cn_col_of_block, axis=0)
     m_c = _roll_blocks(blocks, -tables.cn_shift)
     return m_c.reshape(tables.n_edges, -1)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int):
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp"))
+def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
+                      alg: str = "sum-product", beta: float = 0.0,
+                      clamp: float = 64.0):
     """2-D-interface twin of ops.decode.run_iterations."""
     B = msgs2d.shape[-1]
     Z = tables.Z
@@ -299,7 +376,7 @@ def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int):
 
     def body(_, carry):
         m, _ = carry
-        return bp_iteration_qc(m, llr, syn, tables)
+        return bp_iteration_qc(m, llr, syn, tables, alg, beta, clamp)
 
     totals0 = jnp.zeros_like(llr)
     msgs, totals = jax.lax.fori_loop(0, k, body, (msgs, totals0))

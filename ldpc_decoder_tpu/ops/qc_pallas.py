@@ -52,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, TAYLOR_LIMIT
 from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
 
-SEAM = 8  # halo rows per side in seam mode (f32 sublane granule)
+MAX_SEAM = 64  # max halo rows per side in seam mode (12.5% of a 1024 tile)
 
 
 def _phi_abs_f32(x):
@@ -61,10 +61,10 @@ def _phi_abs_f32(x):
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
 
-def _signed_fine(s: np.ndarray, tile: int, seam: int) -> np.ndarray:
-    """s mod tile, mapped to the signed window (-tile/2, tile/2]."""
+def _signed_fine(s: np.ndarray, tile: int) -> np.ndarray:
+    """s mod tile, mapped to the signed window [-tile/2, tile/2)."""
     b = s % tile
-    return np.where(b > tile // 2, b - tile, b)
+    return np.where(b >= tile // 2, b - tile, b)
 
 
 @partial(
@@ -134,24 +134,25 @@ class QCPallasTables:
         s_vn = (-cn_shift[cn_of_vn].reshape(C, d_v)) % Z  # VN reads -s
 
         # seam mode: the largest tile dividing Z for which every shift's
-        # signed fine part fits in (-SEAM, SEAM)
+        # signed fine part fits within MAX_SEAM halo rows (rounded up to
+        # the 8-row f32 sublane granule)
         def seam_tables(T):
             NT = Z // T
+            b_cn = _signed_fine(s_cn, T)
+            b_vn = _signed_fine(s_vn, T)
+            b_max = int(max(np.abs(b_cn).max(), np.abs(b_vn).max()))
+            seam = max(8, -(-(b_max + 1) // 8) * 8)
+            if seam > MAX_SEAM or seam > T // 8:
+                return None
 
-            def tab(srcs, slots, s):
-                b = _signed_fine(s, T, SEAM)
-                if np.abs(b).max() >= SEAM:
-                    return None
+            def tab(srcs, slots, s, b):
                 c = ((s - b) // T) % NT
                 return np.stack(
-                    [srcs, slots, c.astype(np.int64), SEAM + b], axis=-1
+                    [srcs, slots, c.astype(np.int64), seam + b], axis=-1
                 ).astype(np.int32)
 
-            cn = tab(u // d_v, u % d_v, s_cn)
-            vn = tab(tt // d_c, tt % d_c, s_vn)
-            if cn is None or vn is None:
-                return None
-            return cn, vn
+            return (tab(u // d_v, u % d_v, s_cn, b_cn),
+                    tab(tt // d_c, tt % d_c, s_vn, b_vn), seam)
 
         # largest tile whose double-buffered blocks fit the 16 MiB scoped
         # VMEM budget (d=6, lb=128, bf16: ~8.5 MiB at T=1024)
@@ -163,7 +164,7 @@ class QCPallasTables:
                     return QCPallasTables(
                         n_vars=t.n_vars, n_checks=t.n_checks,
                         n_edges=t.n_edges, Z=Z, C=C, R=R, d_v=d_v, d_c=d_c,
-                        tile=cand, seam=SEAM,
+                        tile=cand, seam=st[2],
                         cn_read=jnp.asarray(st[0]),
                         vn_read=jnp.asarray(st[1]),
                         vn_pos=t.vn_pos, vn_order=t.vn_order,
@@ -284,11 +285,13 @@ def _scratch_rows(tile: int, seam: int) -> int:
     return tile + 2 * seam if seam else 2 * tile
 
 
-def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int):
+def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
+               beta: float):
     """Check-node update (flood_backward) with rotated reads.
 
     refs = d_c slots' message blocks, syndrome tile, output [1, d_c, T, B],
-    scratch.
+    scratch. ``alg``: "sum-product" (φ chain) or "min-sum" (offset
+    two-minimum leave-one-out, no transcendentals).
     """
     rps = _refs_per_slot(seam)
     syn_ref = refs[rps * d_c]
@@ -300,21 +303,38 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int):
         for k in range(d_c)
     ]
     a = [jnp.abs(x) for x in m]
-    ext = a[0]
-    for x in a[1:]:
-        ext = ext + x
     votes = syn_ref[0].astype(jnp.int32)
     for x in m:
         votes = votes + (1 - jnp.signbit(x).astype(jnp.int32))
     parity = votes & 1
-    for k in range(d_c):
-        res = _phi_abs_f32(ext - a[k])
-        is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
-        out_ref[0, k] = jnp.where(is_neg, -res, res).astype(out_ref.dtype)
+    if alg == "min-sum":
+        m1 = a[0]
+        m2 = jnp.full_like(a[0], jnp.inf)
+        pos = jnp.zeros(a[0].shape, jnp.int32)
+        for k in range(1, d_c):
+            is_new = a[k] < m1
+            m2 = jnp.where(is_new, m1, jnp.minimum(m2, a[k]))
+            m1 = jnp.where(is_new, a[k], m1)
+            pos = jnp.where(is_new, k, pos)
+        for k in range(d_c):
+            other = jnp.where(pos == k, m2, m1)
+            res = jnp.maximum(other - jnp.float32(beta), 0.0)
+            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
+            out_ref[0, k] = jnp.where(is_neg, -res, res).astype(
+                out_ref.dtype)
+    else:
+        ext = a[0]
+        for x in a[1:]:
+            ext = ext + x
+        for k in range(d_c):
+            res = _phi_abs_f32(ext - a[k])
+            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
+            out_ref[0, k] = jnp.where(is_neg, -res, res).astype(
+                out_ref.dtype)
 
 
 def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
-               emit_totals: bool):
+               emit_totals: bool, alg: str, clamp: float):
     """Variable-node update (flood_forward) with rotated reads.
 
     refs = d_v slots' r_c blocks, llr tile, then out refs
@@ -337,12 +357,17 @@ def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
         out_totals[0] = total
     for k in range(d_v):
         pre = total - r[k]
-        out_msgs[0, k] = jnp.copysign(
-            _phi_abs_f32(jnp.abs(pre)), pre
-        ).astype(out_msgs.dtype)
+        if alg == "min-sum":
+            out_msgs[0, k] = jnp.clip(pre, -clamp, clamp).astype(
+                out_msgs.dtype)
+        else:
+            out_msgs[0, k] = jnp.copysign(
+                _phi_abs_f32(jnp.abs(pre)), pre
+            ).astype(out_msgs.dtype)
 
 
-def cn_pass(msgs_v, syn3, tables: QCPallasTables):
+def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
+            beta: float = 0.0):
     """msgs_v [C, d_v, Z, B], syn3 [R, Z, B] -> r_c [R, d_c, Z, B]."""
     T, Z, B = tables.tile, tables.Z, msgs_v.shape[-1]
     NT = Z // T
@@ -366,7 +391,8 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables):
         ],
     )
     return pl.pallas_call(
-        partial(_cn_kernel, d_c=tables.d_c, tile=T, seam=tables.seam),
+        partial(_cn_kernel, d_c=tables.d_c, tile=T, seam=tables.seam,
+                alg=alg, beta=beta),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (tables.R, tables.d_c, Z, B), msgs_v.dtype
@@ -375,7 +401,8 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables):
     )(tables.cn_read, *([msgs_v] * (rps * tables.d_c)), syn3)
 
 
-def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True):
+def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True,
+            alg: str = "sum-product", clamp: float = 64.0):
     """r_c [R, d_c, Z, B], llr3 [C, Z, B] -> msgs_v [C, d_v, Z, B]
     (+ totals [C, Z, B] f32 when emit_totals)."""
     T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
@@ -415,7 +442,7 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True):
     )
     out = pl.pallas_call(
         partial(_vn_kernel, d_v=tables.d_v, tile=T, seam=tables.seam,
-                emit_totals=emit_totals),
+                emit_totals=emit_totals, alg=alg, clamp=clamp),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -424,21 +451,26 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True):
 
 
 def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
-                            dtype=jnp.float32):
-    """VN-layout init: every slot of a variable gets φ(llr) — aligned, no
-    rotation needed (unlike CN-layout init)."""
+                            dtype=jnp.float32, alg: str = "sum-product"):
+    """VN-layout init: every slot of a variable gets φ(llr) (or the llr
+    itself for min-sum) — aligned, no rotation needed (unlike CN-layout
+    init)."""
     B = llr2d.shape[-1]
     llr = llr2d.reshape(tables.C, tables.Z, B).astype(jnp.float32)
-    p = jnp.copysign(_phi_abs_f32(jnp.abs(llr)), llr).astype(dtype)
+    if alg == "min-sum":
+        p = llr.astype(dtype)
+    else:
+        p = jnp.copysign(_phi_abs_f32(jnp.abs(llr)), llr).astype(dtype)
     m = jnp.broadcast_to(
         p[:, None], (tables.C, tables.d_v, tables.Z, B)
     )
     return m.reshape(tables.n_edges, B)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp"))
 def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
-                             k: int):
+                             k: int, alg: str = "sum-product",
+                             beta: float = 0.0, clamp: float = 64.0):
     """2-D-interface twin of ops.decode.run_iterations (msgs in VN layout).
 
     The k-iteration superstep: k-1 light iterations (messages only), then a
@@ -456,13 +488,15 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     syn = syn2d.reshape(R, Z, B)
 
     def body(_, m):
-        r_c = cn_pass(m, syn, tables)
-        m2, _ = vn_pass(r_c, llr, tables, emit_totals=False)
+        r_c = cn_pass(m, syn, tables, alg, beta)
+        m2, _ = vn_pass(r_c, llr, tables, emit_totals=False, alg=alg,
+                        clamp=clamp)
         return m2
 
     msgs = jax.lax.fori_loop(0, k - 1, body, msgs)
-    r_c = cn_pass(msgs, syn, tables)
-    msgs, totals = vn_pass(r_c, llr, tables, emit_totals=True)
+    r_c = cn_pass(msgs, syn, tables, alg, beta)
+    msgs, totals = vn_pass(r_c, llr, tables, emit_totals=True, alg=alg,
+                           clamp=clamp)
     bits = (~jnp.signbit(totals)).astype(jnp.int8)
     violated = _parity(bits, syn, tables)
     return (

@@ -153,13 +153,26 @@ class LDPCDecoder:
                 self.tables = qc_pallas.QCPallasTables.from_qc_tables(
                     qct, msg_bytes=msg_bytes
                 )
-                self._run_iterations = qc_pallas.run_iterations_qc_pallas
-                self._init_messages = qc_pallas.init_messages_qc_pallas
+                self._run_iterations = self._bind_alg(
+                    qc_pallas.run_iterations_qc_pallas
+                )
+                self._init_messages = partial(
+                    qc_pallas.init_messages_qc_pallas,
+                    alg=self.params.algorithm,
+                )
             else:
                 self.tables = qct
-                self._run_iterations = qc_ops.run_iterations_qc
-                self._init_messages = qc_ops.init_messages_qc
+                self._run_iterations = self._bind_alg(
+                    qc_ops.run_iterations_qc
+                )
+                self._init_messages = partial(
+                    qc_ops.init_messages_qc, alg=self.params.algorithm
+                )
         else:
+            if (static_params or StaticParams()).algorithm != "sum-product":
+                raise ValueError(
+                    "min-sum is implemented on the QC paths; pass qc="
+                )
             self.tables = ops.DecodeTables.from_compiled(self.cc)
             self._run_iterations = ops.run_iterations
             self._init_messages = ops.init_messages
@@ -171,6 +184,19 @@ class LDPCDecoder:
         self.n_words = (self.code.n_vars + 31) // 32
         self._parallel_factor = self._choose_parallel_factor()
         self._superstep_cache: dict[tuple[int, int, int], callable] = {}
+
+    def _bind_alg(self, run_fn):
+        """Bind the check-node rule (StaticParams.algorithm) into the
+        iteration runner; sum-product keeps the bare function (its
+        defaults) so jit caches stay shared."""
+        if self.params.algorithm == "sum-product":
+            return run_fn
+        return partial(
+            run_fn,
+            alg=self.params.algorithm,
+            beta=self.params.minsum_offset,
+            clamp=self.params.minsum_clamp,
+        )
 
     # ------------------------------------------------------------------
     def _device_memory(self) -> int:

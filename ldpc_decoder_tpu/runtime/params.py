@@ -29,6 +29,15 @@ class StaticParams:
     # kernel implementation for QC codes: "auto" (fused Pallas kernels when
     # the base matrix is regular, else XLA), "pallas", or "xla"
     kernel_impl: str = "auto"
+    # check-node rule: "sum-product" (exact tanh rule in the φ domain,
+    # matching the reference, flood.cu:88-114) or "min-sum" (offset
+    # two-minimum approximation; no transcendentals, higher throughput,
+    # ~0.05-0.1 dB threshold loss; QC paths only)
+    algorithm: str = "sum-product"
+    # offset β of offset-min-sum (|out| = max(min - β, 0))
+    minsum_offset: float = 0.5
+    # symmetric LLR clamp applied to min-sum variable messages
+    minsum_clamp: float = 64.0
 
 
 @dataclass

@@ -150,3 +150,49 @@ def test_seam_mode_end_to_end():
     res, _ = dec_pl.decode(dyn, n, batch.values, batch.syndromes)
     errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
     assert errors == 0
+
+
+def test_minsum_pallas_matches_xla():
+    import jax.numpy as jnp
+
+    code, s = make_qc_code(BASE_36, Z=512, seed=8, coarse=128, fine_mod=4)
+    ch = BIAWGNChannel(0.8)
+    sp = dict(max_log_parallel_factor_user=3, algorithm="min-sum",
+              minsum_offset=0.5)
+    dec_pl = LDPCDecoder(code, ch, StaticParams(kernel_impl="pallas", **sp),
+                         qc=s)
+    dec_xla = LDPCDecoder(code, ch, StaticParams(kernel_impl="xla", **sp),
+                          qc=s)
+    n = 8
+    batch = create_data(code, ch, 0, n)
+    t = dec_pl.tables
+    llr2d = jnp.asarray(ch.llr_np(batch.values)[np.asarray(t.vn_order)][:, :n])
+    syn2d = jnp.asarray(batch.syndromes[np.asarray(t.cn_order)][:, :n])
+    m_pl = dec_pl._init_messages(llr2d, t)
+    m_xla = dec_xla._init_messages(llr2d, dec_xla.tables)
+    for k in (1, 3):
+        _, bits_pl, viol_pl = dec_pl._run_iterations(m_pl, llr2d, syn2d, t, k)
+        _, bits_xla, viol_xla = dec_xla._run_iterations(
+            m_xla, llr2d, syn2d, dec_xla.tables, k)
+        np.testing.assert_array_equal(np.asarray(bits_pl),
+                                      np.asarray(bits_xla))
+        np.testing.assert_array_equal(np.asarray(viol_pl),
+                                      np.asarray(viol_xla))
+
+
+def test_minsum_decodes_end_to_end():
+    code, s = make_qc_code(BASE_36, Z=512, seed=9, coarse=128, fine_mod=4)
+    ch = BIAWGNChannel(0.7)
+    dec = LDPCDecoder(
+        code, ch,
+        StaticParams(max_log_parallel_factor_user=3, algorithm="min-sum",
+                     message_dtype="bfloat16"),
+        qc=s,
+    )
+    dyn = DynamicParams(num_iter_max=50, num_iter_check_parity=5,
+                        loading_factor=2)
+    n = dec.parallel_factor() * 2
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
