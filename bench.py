@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_MBPS = 200.276  # README.md:106
 ALIST = os.path.join(os.path.dirname(__file__), "codes_cache",
-                     "bench_qc36_awgn_r05_1044480_g8.alist")
+                     "bench_qc36x_awgn_r05_1048576_g8.alist")
 
 
 def log(msg):
@@ -45,15 +45,20 @@ def get_code():
         code, s = load_qc_alist(ALIST)
         if s is not None:
             return code, s
-    log("generating ~2^20-bit rate-0.5 QC code (seed 1, seam lattice, "
-        "girth 8)...")
-    base = np.ones((3, 6), dtype=np.int8)
+    log("generating 2^20-bit rate-0.5 QC code (16x32 base, Z=2^15, "
+        "seam lattice, girth 8)...")
+    from ldpc_decoder_tpu.codes.protographs import regular_base
+
+    # sparse scaled (3,6) base: the all-ones 3x6 base caps minimum
+    # distance at (d_v+1)! = 24 for any lift (MacKay/Davey), which makes
+    # near-threshold BP converge onto wrong codewords; a random 16x32
+    # base escapes the bound with the same degree profile/threshold
+    base = regular_base(16, 32, 3, 6, seed=2)
     # shifts on the 1024-coarse seam lattice with wide +-63 fine parts:
     # the Pallas kernels fetch one aligned 1024-row tile + two 64-row
-    # halos per rotated window (~12.5% extra reads); the ~21.6k-point
-    # shift lattice is rich enough that rejection sampling reaches
-    # girth 8 (no 4- or 6-cycles)
-    code, s = make_qc_code(base, Z=174080, seed=1, coarse=1024,
+    # halos per rotated window (~12.5% extra reads); rejection sampling
+    # reaches girth 8 (no 4- or 6-cycles)
+    code, s = make_qc_code(base, Z=32768, seed=1, coarse=1024,
                            fine_mod=64, min_girth=8)
     os.makedirs(os.path.dirname(ALIST), exist_ok=True)
     write_qc_alist(code, s, ALIST)

@@ -1,0 +1,133 @@
+"""Standard protograph ensembles for capacity-approaching QC-LDPC codes.
+
+The reference ships an *irregular* 2^20-bit rate-0.5 code with punctured
+(erased) variables reaching 94.9% of capacity (README.md:77-88); its
+construction is unpublished and the alist blob is absent from the snapshot.
+This module provides equivalent-or-better open constructions as protograph
+base matrices for the QC lift in :mod:`ldpc_decoder_tpu.codes.qc`:
+
+- **AR4JA** (Divsalar/Dolinar/Jones, CCSDS 131.1 family): rate-1/2 base
+  with one punctured high-degree column; iterative-decoding threshold
+  ~0.63 dB Eb/N0 (σ* ≈ 0.93) — far beyond the (3,6) regular ensemble's
+  0.88.
+- **RU-style irregular bases**: degree profiles from density-evolution
+  optimized ensembles (Richardson/Shokrollahi/Urbanke tables), realized as
+  integer base matrices (threshold σ* ≈ 0.9497 for the max-d_v-8 profile).
+
+A base matrix entry m > 1 means m parallel edges between that (check,
+variable) pair in the protograph; after lifting with distinct circulant
+shifts they become disjoint edge sets (the QC expansion resolves
+multi-edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# AR4JA rate-1/2 protomatrix (Divsalar et al., "Capacity-Approaching
+# Protograph Codes", IEEE JSAC 2009, Fig. 12). Columns:
+# [v0 (transmitted), v1 (PUNCTURED, degree 6), v2, v3, v4]; the last
+# column pair carries the accumulate-repeat structure.
+AR4JA_RATE_12 = np.array(
+    [
+        [1, 2, 0, 0, 0],
+        [0, 3, 1, 1, 1],
+        [0, 1, 2, 2, 1],
+    ],
+    dtype=np.int8,
+)
+AR4JA_RATE_12_PUNCTURED_COLS = (1,)
+
+
+def ar4ja_base(rate_num: int = 1, rate_den: int = 2):
+    """AR4JA base matrix + punctured column indices for rate n/(n+2).
+
+    Currently rate 1/2 (the reference's flagship rate). Higher-rate AR4JA
+    members extend the base with paired degree-4 columns (JSAC 2009,
+    Fig. 13) and can be added the same way.
+    """
+    if (rate_num, rate_den) == (1, 2):
+        return AR4JA_RATE_12.copy(), AR4JA_RATE_12_PUNCTURED_COLS
+    raise ValueError(f"unsupported AR4JA rate {rate_num}/{rate_den}")
+
+
+def ru_irregular_base(scale: int = 8, seed: int = 0):
+    """Integer base matrix realizing the RU max-d_v-8 rate-1/2 ensemble.
+
+    Edge-perspective profile (Richardson/Shokrollahi/Urbanke, "Design of
+    capacity-approaching irregular LDPC codes", Table I, max d_v = 8):
+    λ(x) = 0.30013 x + 0.28395 x^2 + 0.41592 x^7,
+    ρ(x) = 0.22919 x^5 + 0.77081 x^6, threshold σ* = 0.9497.
+
+    Realized as a (3·scale) x (6·scale) 0/1 base matrix with column degrees
+    drawn from {2, 3, 8} and row degrees from {6, 7} in the profile's node
+    proportions; the QC lift then makes an irregular code with exactly this
+    degree distribution. All variables transmitted (no puncturing).
+    """
+    R, C = 3 * scale, 6 * scale
+    # node-perspective fractions: n_j ∝ λ_j / j
+    lam = {2: 0.30013, 3: 0.28395, 8: 0.41592}
+    node = {j: l / j for j, l in lam.items()}
+    tot = sum(node.values())
+    counts = {j: int(round(C * f / tot)) for j, f in node.items()}
+    counts[2] += C - sum(counts.values())  # rounding slack -> deg-2
+    col_deg = np.repeat(
+        list(counts.keys()), list(counts.values())
+    ).astype(np.int64)
+    n_edges = int(col_deg.sum())
+    # rows: degrees 6/7 summing to n_edges
+    d7 = n_edges - 6 * R
+    if not 0 <= d7 <= R:
+        raise ValueError("scale incompatible with the degree profile")
+    row_deg = np.array([7] * d7 + [6] * (R - d7), dtype=np.int64)
+
+    # degree-constrained 0/1 base: place columns greedily (densest first),
+    # sampling distinct rows weighted by remaining row capacity
+    rng = np.random.default_rng(seed)
+    order = np.argsort(-col_deg)
+    for _ in range(200):
+        cap = row_deg.astype(np.float64).copy()
+        base = np.zeros((R, C), dtype=np.int8)
+        ok = True
+        for c in order:
+            d = int(col_deg[c])
+            if (cap > 0).sum() < d:
+                ok = False
+                break
+            p = cap / cap.sum()
+            picks = rng.choice(R, size=d, replace=False, p=p)
+            base[picks, c] = 1
+            cap[picks] -= 1
+        if ok and (base.sum(axis=1) == row_deg).all():
+            return base, ()
+        rng = np.random.default_rng(rng.integers(1 << 31))
+    raise RuntimeError("could not realize the degree profile; "
+                       "try a larger scale")
+
+
+def regular_base(R: int, C: int, dv: int, dc: int, seed: int = 0):
+    """Random (dv, dc)-regular 0/1 base matrix (configuration model,
+    parallel edges rejected).
+
+    Why not the trivial all-ones dv x dc base: QC lifts of *fully
+    connected* bases have minimum distance <= (dv+1)! regardless of the
+    lift size (MacKay/Davey bound), so a 2^20-bit code built from the
+    1x-scale base carries weight-24 codewords — near-threshold BP visibly
+    converges onto them. A sparse scaled base escapes the bound while
+    keeping the same degree profile and threshold.
+    """
+    if R * dc != C * dv:
+        raise ValueError("degree/size mismatch: R*dc must equal C*dv")
+    rng = np.random.default_rng(seed)
+    for _ in range(500):
+        stubs_c = np.repeat(np.arange(R), dc)
+        rng.shuffle(stubs_c)
+        pairs = set(zip(stubs_c.tolist(),
+                        np.repeat(np.arange(C), dv).tolist()))
+        if len(pairs) == R * dc:
+            base = np.zeros((R, C), dtype=np.int8)
+            for r, c in pairs:
+                base[r, c] = 1
+            return base
+        rng = np.random.default_rng(rng.integers(1 << 31))
+    raise RuntimeError("could not realize a simple regular base")

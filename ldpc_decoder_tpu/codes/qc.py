@@ -92,17 +92,45 @@ class QCStructure:
 
 
 def _has_4cycle(structure: QCStructure) -> bool:
-    """4-cycle test: cols j1<j2 sharing rows r1<r2 form a length-4 cycle iff
-    (s[r1,j1]-s[r1,j2]+s[r2,j2]-s[r2,j1]) % Z == 0."""
+    """4-cycle test, multi-edge aware.
+
+    A lifted 4-cycle v1-c1-v2-c2 exists iff two distinct (edge, edge) pairs
+    bridging the same row pair produce equal shift differences mod Z
+    (for 0/1 bases this reduces to the classic distinct-differences rule);
+    parallel edges within a cell additionally give same-row cycles whenever
+    two in-cell shift differences coincide (including duplicate shifts).
+    """
+    from collections import defaultdict
+
     R, C, Z = structure.n_base_rows, structure.n_base_cols, structure.Z
-    S = np.full((R, C), -1, dtype=np.int64)
-    S[structure.edge_row, structure.edge_col] = structure.edge_shift
+    cell = defaultdict(list)
+    for r, c, sh in zip(structure.edge_row.tolist(),
+                        structure.edge_col.tolist(),
+                        structure.edge_shift.tolist()):
+        cell[(r, c)].append(sh)
+    for ss in cell.values():
+        if len(set(ss)) < len(ss):  # collapsed parallel edge
+            return True
+    # same-row pair differences (only multi-edge cells contribute)
+    for r in range(R):
+        diffs = []
+        for c in range(C):
+            ss = cell.get((r, c), [])
+            for i in range(len(ss)):
+                for j in range(len(ss)):
+                    if i != j:
+                        diffs.append((ss[i] - ss[j]) % Z)
+        if len(diffs) != len(set(diffs)):
+            return True
+    # cross-row-pair differences
     for r1 in range(R):
         for r2 in range(r1 + 1, R):
-            both = (S[r1] >= 0) & (S[r2] >= 0)
-            d = (S[r1, both] - S[r2, both]) % Z
-            vals, counts = np.unique(d, return_counts=True)
-            if (counts > 1).any():
+            diffs = []
+            for c in range(C):
+                for s1 in cell.get((r1, c), []):
+                    for s2 in cell.get((r2, c), []):
+                        diffs.append((s1 - s2) % Z)
+            if len(diffs) != len(set(diffs)):
                 return True
     return False
 
@@ -156,7 +184,12 @@ def make_qc_structure(
     tile, so its fine parts must cancel exactly).
     """
     base = np.asarray(base)
-    rows, cols = np.nonzero(base)
+    # expand entries > 1 into parallel protograph edges (resolved by the
+    # lift into disjoint circulants with distinct shifts)
+    r0, c0 = np.nonzero(base)
+    mult = base[r0, c0].astype(np.int64)
+    rows = np.repeat(r0, mult)
+    cols = np.repeat(c0, mult)
     rng = np.random.default_rng(seed)
     if coarse is not None:
         if Z % coarse:
@@ -180,8 +213,13 @@ def make_qc_structure(
         )
         if _has_4cycle(s):
             continue
-        if min_girth >= 8 and _count_6cycles(s) > 0:
-            continue
+        if min_girth >= 8:
+            if (base > 1).any():
+                raise ValueError(
+                    "min_girth=8 rejection supports 0/1 bases only"
+                )
+            if _count_6cycles(s) > 0:
+                continue
         return s
     raise RuntimeError(
         f"could not find girth-{min_girth} shifts for Z={Z} "

@@ -155,8 +155,8 @@ class QCPallasTables:
                     tab(tt // d_c, tt % d_c, s_vn, b_vn), seam)
 
         # largest tile whose double-buffered blocks fit the 16 MiB scoped
-        # VMEM budget (d=6, lb=128, bf16: ~8.5 MiB at T=1024)
-        cand = 1024
+        # VMEM budget (measured: bf16 fits at T=1024, f32 needs T=512)
+        cand = 1024 if msg_bytes <= 2 else 512
         while cand >= 128:
             if Z % cand == 0:
                 st = seam_tables(cand)
@@ -334,17 +334,19 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
 
 
 def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
-               emit_totals: bool, alg: str, clamp: float):
+               emit_bits: bool, alg: str, clamp: float):
     """Variable-node update (flood_forward) with rotated reads.
 
     refs = d_v slots' r_c blocks, llr tile, then out refs
-    (msgs_v [1, d_v, T, B] and, when emit_totals, totals [1, T, B] f32).
+    (msgs_v [1, d_v, T, B] and, when emit_bits, hard decisions
+    [1, T, B] int8 — the flood_forward_w_final_bits analog,
+    flood.cu:159-189).
     """
     rps = _refs_per_slot(seam)
     llr_ref = refs[rps * d_v]
     out_msgs = refs[rps * d_v + 1]
-    out_totals = refs[rps * d_v + 2] if emit_totals else None
-    pair_scratch = refs[rps * d_v + 2 + (1 if emit_totals else 0)]
+    out_bits = refs[rps * d_v + 2] if emit_bits else None
+    pair_scratch = refs[rps * d_v + 2 + (1 if emit_bits else 0)]
     i = pl.program_id(0)
     r = [
         _window(refs, k, tab_ref, i, tile, seam, pair_scratch)
@@ -353,8 +355,8 @@ def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
     total = llr_ref[0].astype(jnp.float32)
     for x in r:
         total = total + x
-    if emit_totals:
-        out_totals[0] = total
+    if emit_bits:
+        out_bits[0] = (~jnp.signbit(total)).astype(jnp.int8)
     for k in range(d_v):
         pre = total - r[k]
         if alg == "min-sum":
@@ -401,10 +403,10 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
     )(tables.cn_read, *([msgs_v] * (rps * tables.d_c)), syn3)
 
 
-def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True,
+def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
             alg: str = "sum-product", clamp: float = 64.0):
     """r_c [R, d_c, Z, B], llr3 [C, Z, B] -> msgs_v [C, d_v, Z, B]
-    (+ totals [C, Z, B] f32 when emit_totals)."""
+    (+ hard decisions [C, Z, B] int8 when emit_bits)."""
     T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
     NT = Z // T
     lb = _lane_block(B)
@@ -419,13 +421,13 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True,
     out_shape = [
         jax.ShapeDtypeStruct((tables.C, tables.d_v, Z, B), r_c.dtype),
     ]
-    if emit_totals:
+    if emit_bits:
         out_specs.append(
             pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
                          memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((tables.C, Z, B), jnp.float32)
+            jax.ShapeDtypeStruct((tables.C, Z, B), jnp.int8)
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -442,12 +444,12 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_totals: bool = True,
     )
     out = pl.pallas_call(
         partial(_vn_kernel, d_v=tables.d_v, tile=T, seam=tables.seam,
-                emit_totals=emit_totals, alg=alg, clamp=clamp),
+                emit_bits=emit_bits, alg=alg, clamp=clamp),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
     )(tables.vn_read, *([r_c] * (rps * tables.d_v)), llr3)
-    return out if emit_totals else (out[0], None)
+    return out if emit_bits else (out[0], None)
 
 
 def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
@@ -474,9 +476,9 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     """2-D-interface twin of ops.decode.run_iterations (msgs in VN layout).
 
     The k-iteration superstep: k-1 light iterations (messages only), then a
-    final iteration that also emits totals for the hard decision — totals
-    are only consumed every k iterations, so writing them each iteration
-    would waste one f32 n_vars-sized HBM pass per iteration.
+    final iteration that also emits int8 hard decisions (consumed only every
+    k iterations — emitting f32 totals each iteration would waste an
+    n_vars-sized HBM pass), then the fused parity kernel.
     """
     B = msgs2d.shape[-1]
     Z, C, R = tables.Z, tables.C, tables.R
@@ -489,16 +491,15 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
 
     def body(_, m):
         r_c = cn_pass(m, syn, tables, alg, beta)
-        m2, _ = vn_pass(r_c, llr, tables, emit_totals=False, alg=alg,
+        m2, _ = vn_pass(r_c, llr, tables, emit_bits=False, alg=alg,
                         clamp=clamp)
         return m2
 
     msgs = jax.lax.fori_loop(0, k - 1, body, msgs)
     r_c = cn_pass(msgs, syn, tables, alg, beta)
-    msgs, totals = vn_pass(r_c, llr, tables, emit_totals=True, alg=alg,
-                           clamp=clamp)
-    bits = (~jnp.signbit(totals)).astype(jnp.int8)
-    violated = _parity(bits, syn, tables)
+    msgs, bits = vn_pass(r_c, llr, tables, emit_bits=True, alg=alg,
+                         clamp=clamp)
+    violated = parity_pass(bits, syn, tables)
     return (
         msgs.reshape(tables.n_edges, B),
         bits.reshape(tables.n_vars, B),
@@ -516,19 +517,94 @@ def _shift_of(read_tab, tables: QCPallasTables):
     return s % tables.Z
 
 
-def _parity(bits, syn, tables: QCPallasTables):
-    """Parity flags via rotated reads of the (cheap, int8) bits array —
-    reuses the XLA roll path; runs once per k iterations."""
-    col = tables.cn_read[..., 0].reshape(-1)  # [R*d_c]
-    s = _shift_of(tables.cn_read, tables).reshape(-1)
-    blocks = jnp.take(bits, col, axis=0)
-    rolled = jax.vmap(lambda xb, sb: jnp.roll(xb, -sb, axis=0))(blocks, s)
-    x = jnp.sum(
-        rolled.reshape(tables.R, tables.d_c, tables.Z, -1).astype(jnp.int32),
-        axis=1,
+def _parity_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int):
+    """check_parity analog (flood.cu:191-223): per grid block, 1 iff any
+    check in the block is violated. Windows are staged through an int32
+    scratch (non-packed, so the dynamic-start slice is legal)."""
+    rps = _refs_per_slot(seam)
+    syn_ref = refs[rps * d_c]
+    out_ref = refs[rps * d_c + 1]
+    scratch = refs[rps * d_c + 2]
+    i = pl.program_id(0)
+    acc = syn_ref[0].astype(jnp.int32)
+    for k in range(d_c):
+        if seam:
+            prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
+            scratch[0:seam] = prev[0].astype(jnp.int32)
+            scratch[seam : seam + tile] = main[0].astype(jnp.int32)
+            scratch[seam + tile : 2 * seam + tile] = nxt[0].astype(jnp.int32)
+        else:
+            scratch[0:tile] = refs[2 * k][0].astype(jnp.int32)
+            scratch[tile : 2 * tile] = refs[2 * k + 1][0].astype(jnp.int32)
+        acc = acc + scratch[pl.ds(tab_ref[i, k, 3], tile), :]
+    viol = acc & 1
+    # out block is (1, 1, 8, lb) — Mosaic needs sublane dim >= 8
+    out_ref[0, 0] = jnp.broadcast_to(
+        jnp.max(viol, axis=0, keepdims=True), out_ref.shape[2:]
+    ).astype(jnp.int8)
+
+
+def parity_pass(bits, syn, tables: QCPallasTables):
+    """bits [C, Z, B] int8, syn [R, Z, B] int8 -> [B] bool violated flags.
+
+    Reads only the int8 bits/syndrome arrays (~1/6 of one message pass);
+    rotated reads use the same halo/pair specs as the message kernels but
+    with a 3-D layout (the source has no slot axis)."""
+    T, Z, B = tables.tile, tables.Z, bits.shape[-1]
+    NT = Z // T
+    lb = _lane_block(B)
+    rps = _refs_per_slot(tables.seam)
+    seam = tables.seam
+    n_halo = T // seam if seam else 0
+    specs = []
+    for k in range(tables.d_c):
+        if seam:
+            def prev_map(i, j, l, tab, _k=k):
+                m = (tab[i, _k, 2] + j - 1) % NT
+                return (tab[i, _k, 0], m * n_halo + (n_halo - 1), l)
+
+            def main_map(i, j, l, tab, _k=k):
+                return (tab[i, _k, 0], (tab[i, _k, 2] + j) % NT, l)
+
+            def next_map(i, j, l, tab, _k=k):
+                m = (tab[i, _k, 2] + j + 1) % NT
+                return (tab[i, _k, 0], m * n_halo, l)
+
+            specs.append(pl.BlockSpec((1, seam, lb), prev_map,
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec((1, T, lb), main_map,
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec((1, seam, lb), next_map,
+                                      memory_space=pltpu.VMEM))
+        else:
+            for which in (0, 1):
+                def index_map(i, j, l, tab, _k=k, _w=which):
+                    t0 = tab[i, _k, 2] + j + _w
+                    return (tab[i, _k, 0], t0 % NT, l)
+
+                specs.append(pl.BlockSpec((1, T, lb), index_map,
+                                          memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tables.R, NT, B // lb),
+        in_specs=specs + [
+            pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, lb),
+                               lambda i, j, l, *_: (i, j, 0, l),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_scratch_rows(T, seam), lb), jnp.int32)
+        ],
     )
-    viol = ((x + syn.astype(jnp.int32)) & 1) > 0
-    return jnp.any(viol, axis=(0, 1))
+    viol = pl.pallas_call(
+        partial(_parity_kernel, d_c=tables.d_c, tile=T, seam=seam),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tables.R, NT, 8, B), jnp.int8),
+        interpret=_interpret(),
+    )(tables.cn_read, *([bits] * (rps * tables.d_c)), syn)
+    return jnp.any(viol[:, :, 0] > 0, axis=(0, 1))
 
 
 def syndrome_from_bits_qc_pallas(bits2d, tables: QCPallasTables):

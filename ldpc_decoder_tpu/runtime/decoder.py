@@ -88,10 +88,21 @@ class DecodeStats:
 
 
 def _pack_bits_natural(bits_sorted: jnp.ndarray, vn_pos: jnp.ndarray,
-                       n_words: int) -> jnp.ndarray:
+                       n_words: int,
+                       block_perm: tuple[int, ...] | None = None,
+                       Z: int = 0) -> jnp.ndarray:
     """[n_vars, B] sorted int8 -> [B, n_words] uint32 packed natural order
-    (the deinterlace_output analog, flood.cu:277-295)."""
-    bits_nat = jnp.take(bits_sorted, vn_pos, axis=0).astype(jnp.uint32)
+    (the deinterlace_output analog, flood.cu:277-295).
+
+    When the sorted order is a QC block permutation (``block_perm``/``Z``
+    given), the n_vars-row gather collapses to a C-block static permute."""
+    if block_perm is not None:
+        b = bits_sorted.shape[-1]
+        blocks = bits_sorted.reshape(len(block_perm), Z, b)
+        bits_nat = blocks[np.array(block_perm)].reshape(-1, b).astype(
+            jnp.uint32)
+    else:
+        bits_nat = jnp.take(bits_sorted, vn_pos, axis=0).astype(jnp.uint32)
     n_vars, b = bits_nat.shape
     pad = n_words * 32 - n_vars
     if pad:
@@ -262,6 +273,17 @@ class LDPCDecoder:
         n_words = self.n_words
         msg_dtype = self.msg_dtype
 
+        # QC block orders make the natural-order gather a static C-block
+        # permute (vn_pos maps whole Z-blocks)
+        block_perm, blk_Z = None, 0
+        Z = getattr(tables, "Z", 0)
+        if Z and self.code.n_vars % Z == 0:
+            vp = np.asarray(tables.vn_pos)
+            cand = vp[::Z] // Z
+            if (vp.reshape(-1, Z) == (cand[:, None] * Z
+                                      + np.arange(Z)[None, :])).all():
+                block_perm, blk_Z = tuple(int(x) for x in cand), Z
+
         def load_lanes(pool_values, pool_syn, ids, fresh, state_llr,
                        state_syn):
             """Masked lane refill from the pool (flood_refill analog)."""
@@ -284,7 +306,8 @@ class LDPCDecoder:
             done = state.active & (~violated | (iters_done >= max_iter))
 
             # retire: pack + scatter results/iteration counts
-            packed = _pack_bits_natural(bits, tables.vn_pos, n_words)
+            packed = _pack_bits_natural(bits, tables.vn_pos, n_words,
+                                        block_perm, blk_Z)
             rows = jnp.where(done, state.frame_ids, n_pool)
             results = state.results.at[rows].set(packed)
             iters_out = state.iters_out.at[rows].set(iters_done)
@@ -298,12 +321,22 @@ class LDPCDecoder:
             pool_next = state.pool_next + jnp.sum(done.astype(jnp.int32))
             pool_next = jnp.minimum(pool_next, n_pool)
 
-            llr, syn = load_lanes(
-                pool_values, pool_syn, frame_ids, has_new,
-                state.llr, state.syn,
+            # refill is several full passes over the message state; gate it
+            # on-device so supersteps where no lane finished skip the work
+            # entirely (the reference's host scheduler does the analogous
+            # skip by branching on num_new, ldpc_decoder_gpu.cu:464)
+            def _refill(op):
+                llr0, syn0, msgs0 = op
+                llr, syn = load_lanes(
+                    pool_values, pool_syn, frame_ids, has_new, llr0, syn0
+                )
+                fresh = self._init_messages(llr, tables, dtype=msg_dtype)
+                return llr, syn, jnp.where(has_new[None, :], fresh, msgs0)
+
+            llr, syn, msgs = jax.lax.cond(
+                jnp.any(has_new), _refill, lambda op: op,
+                (state.llr, state.syn, msgs),
             )
-            fresh_msgs = self._init_messages(llr, tables, dtype=msg_dtype)
-            msgs = jnp.where(has_new[None, :], fresh_msgs, msgs)
             iters_done = jnp.where(done, 0, iters_done)
 
             return DecodeState(
