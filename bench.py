@@ -80,11 +80,13 @@ def main():
     # iterations at its own code's threshold, README.md:104)
     sigma = float(os.environ.get("BENCH_SIGMA", "0.87"))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
+    alg = os.environ.get("BENCH_ALG", "sum-product")
     code, qc = get_code()
     channel = BIAWGNChannel(sigma)
     dec = LDPCDecoder(
         code, channel,
-        StaticParams(max_log_parallel_factor_user=8, message_dtype=dtype),
+        StaticParams(max_log_parallel_factor_user=8, message_dtype=dtype,
+                     algorithm=alg),
         qc=qc,
     )
     dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
@@ -92,7 +94,7 @@ def main():
     B = dec.parallel_factor()
     n = B * dyn.loading_factor
     n = (n // 32) * 32
-    log(f"sigma={sigma} dtype={dtype} B={B} frames={n}")
+    log(f"sigma={sigma} dtype={dtype} alg={alg} B={B} frames={n}")
 
     t0 = time.perf_counter()
     pool = create_pool_device(dec.cc, dec.tables, channel, 0, n)

@@ -131,3 +131,25 @@ def regular_base(R: int, C: int, dv: int, dc: int, seed: int = 0):
             return base
         rng = np.random.default_rng(rng.integers(1 << 31))
     raise RuntimeError("could not realize a simple regular base")
+
+
+def make_protograph_code(base, punctured_cols, Z: int, seed: int = 0,
+                         coarse=None, fine_mod: int = 4):
+    """Lift a protograph into an LDPCCode with punctured columns as erased
+    variables.
+
+    The reference's alist convention marks the *last* ``#e=`` variables as
+    erased (ldpc_code.cpp:52-76, main.cpp:529-530), so punctured base
+    columns are permuted to the end before lifting; they are then never
+    transmitted (channel value 0 / LLR 0) but are recovered by decoding and
+    counted in the error statistics, exactly like the reference's
+    174,763-erased-variable flagship code (README.md:81-86).
+    """
+    from ldpc_decoder_tpu.codes.qc import make_qc_code
+
+    base = np.asarray(base)
+    punct = sorted(punctured_cols)
+    order = [c for c in range(base.shape[1]) if c not in punct] + punct
+    return make_qc_code(base[:, order], Z, seed=seed,
+                        n_erased_vars=len(punct) * Z,
+                        coarse=coarse, fine_mod=fine_mod)

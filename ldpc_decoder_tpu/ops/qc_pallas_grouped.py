@@ -1,0 +1,584 @@
+"""Fused Pallas kernels for *irregular* QC-LDPC codes (grouped degrees).
+
+Extends ops/qc_pallas.py beyond regular base matrices: check/variable nodes
+are grouped by degree (the sorted orders from
+:class:`ops.qc_decode.QCDecodeTables` already make each degree group a
+contiguous range), and each group gets its own fused kernel launch with its
+exact degree unrolled — no padding waste for the low-degree groups that
+dominate optimized irregular ensembles (AR4JA, RU profiles).
+
+Layout: circulant blocks live in flat ``[nb, Z, B]`` arrays — ``msgs_v``
+ordered by (column, slot), ``r_c`` by (check row, slot); a group's blocks
+are contiguous. Each per-group ``pallas_call`` writes only its slice of the
+full flat array via ``input_output_aliases`` (the previous buffer is donated
+and untouched blocks persist), so chaining groups costs no extra HBM
+traffic; the iteration loop carries ``(msgs_v, r_c)`` and recycles both.
+
+Rotated reads use the same seam/pair window mechanics as the regular
+kernels (one aligned tile + halo blocks on seam-lattice codes, tile pairs
+otherwise); see ops/qc_pallas.py for the co-design discussion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
+from ldpc_decoder_tpu.ops.qc_pallas import (
+    MAX_SEAM,
+    _interpret,
+    _lane_block,
+    _phi_abs_f32,
+    _scratch_rows,
+    _signed_fine,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Group:
+    node_start: int  # first sorted row/col of this degree group
+    count: int       # number of nodes
+    degree: int
+    block_start: int  # first flat block index
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "cn_read",
+        "vn_read",
+        "cn_col_read",
+        "vn_pos",
+        "vn_order",
+        "cn_order",
+        "erased_mask_sorted",
+    ],
+    meta_fields=["n_vars", "n_checks", "n_edges", "Z", "nb", "nbv_pad",
+                 "nbc_pad", "C", "R", "tile", "seam", "row_groups",
+                 "col_groups"],
+)
+@dataclasses.dataclass(frozen=True)
+class GroupedQCPallasTables:
+    """Prefetch tables + group metadata for the grouped fused kernels.
+
+    Flat block arrays are *padded*: each degree group's ``block_start`` is
+    rounded up to a multiple of its degree so the per-group output
+    BlockSpec (block = one node's d slots) can address it; padding blocks
+    are never read or written (grids cover real nodes only).
+    """
+
+    n_vars: int
+    n_checks: int
+    n_edges: int
+    Z: int
+    nb: int       # real base edges (circulant blocks)
+    nbv_pad: int  # padded vn-side flat blocks
+    nbc_pad: int  # padded cn-side flat blocks
+    C: int   # base columns
+    R: int   # base rows
+    tile: int
+    seam: int  # halo rows per side (0 = tile-pair mode)
+    row_groups: tuple[Group, ...]  # block_start values are padded
+    col_groups: tuple[Group, ...]
+
+    cn_read: jnp.ndarray  # [nbc_pad, 4] (padded src vn block, 0, toff, fine)
+    vn_read: jnp.ndarray  # [nbv_pad, 4] (padded src cn block, 0, toff, fine)
+    cn_col_read: jnp.ndarray  # [nbc_pad, 4] (sorted col, 0, toff, fine)
+
+    vn_pos: jnp.ndarray
+    vn_order: jnp.ndarray
+    cn_order: jnp.ndarray
+    erased_mask_sorted: jnp.ndarray
+
+    @staticmethod
+    def from_qc_tables(t: QCDecodeTables,
+                       msg_bytes: int = 4) -> "GroupedQCPallasTables":
+        Z = t.Z
+        nb = t.n_blocks
+        cn_shift = np.asarray(t.cn_shift).astype(np.int64)
+        vn_of_cn = np.asarray(t.vn_of_cn).astype(np.int64)
+        cn_of_vn = np.asarray(t.cn_of_vn).astype(np.int64)
+        cn_col = np.asarray(t.cn_col_of_block).astype(np.int64)
+        s_cn = cn_shift  # CN slot e reads msgs_v[vn_of_cn[e]] rotated +s
+        s_vn = (-cn_shift[cn_of_vn]) % Z  # VN slot u reads r_c rotated -s
+
+        # padded layouts: group starts rounded to multiples of the degree
+        def pad_layout(block_groups):
+            groups, pmap = [], np.zeros(nb, np.int64)
+            node = 0
+            pstart = 0
+            for g in block_groups:
+                d = g.degree
+                pstart = -(-pstart // d) * d
+                n_blk = g.count * d
+                pmap[g.block_start : g.block_start + n_blk] = (
+                    pstart + np.arange(n_blk)
+                )
+                groups.append(Group(node_start=node, count=g.count,
+                                    degree=d, block_start=pstart))
+                node += g.count
+                pstart += n_blk
+            return tuple(groups), pmap, pstart
+
+        row_groups, pc, nbc_pad = pad_layout(t.row_groups)
+        col_groups, pv, nbv_pad = pad_layout(t.col_groups)
+
+        def decomp(s, tile, seam):
+            NT = Z // tile
+            if seam:
+                b = _signed_fine(s, tile)
+                return ((s - b) // tile) % NT, seam + b, int(np.abs(b).max())
+            return (s // tile) % NT, s % tile, 0
+
+        # seam mode with the largest feasible tile, else tile-pair mode.
+        # VMEM budget (measured on v5e, 16 MiB scoped limit): the widest
+        # group's double-buffered blocks fit iff d_max*tile*msg_bytes
+        # <= 12288.
+        d_max = max(g.degree for g in t.row_groups + t.col_groups)
+        tile, seam = None, 0
+        cand = 1024
+        while cand >= 256 and d_max * cand * msg_bytes > 12288:
+            cand //= 2
+        while cand >= 128:
+            if Z % cand == 0:
+                b_all = np.concatenate([
+                    _signed_fine(s_cn, cand), _signed_fine(s_vn, cand)])
+                need = int(np.abs(b_all).max()) + 1
+                sm = max(8, -(-need // 8) * 8)
+                if sm <= MAX_SEAM and sm <= cand // 8:
+                    tile, seam = cand, sm
+                    break
+            cand //= 2
+        if tile is None:
+            tile = 512
+            while Z % tile or d_max * tile * msg_bytes > 12288:
+                tile //= 2
+            if tile < 32:
+                raise ValueError(f"Z={Z} has no usable tile divisor")
+            seam = 0
+
+        def table(size, positions, srcs, shifts):
+            toff, fine, _ = decomp(shifts, tile, seam)
+            tab = np.zeros((size, 4), np.int64)
+            tab[positions, 0] = srcs
+            tab[positions, 2] = toff
+            tab[positions, 3] = fine
+            return jnp.asarray(tab.astype(np.int32))
+
+        e = np.arange(nb)
+        return GroupedQCPallasTables(
+            n_vars=t.n_vars, n_checks=t.n_checks, n_edges=t.n_edges,
+            Z=Z, nb=nb, nbv_pad=nbv_pad, nbc_pad=nbc_pad,
+            C=t.n_vars // Z, R=t.n_checks // Z,
+            tile=tile, seam=seam,
+            row_groups=row_groups,
+            col_groups=col_groups,
+            cn_read=table(nbc_pad, pc[e], pv[vn_of_cn], s_cn),
+            vn_read=table(nbv_pad, pv[e], pc[cn_of_vn], s_vn),
+            cn_col_read=table(nbc_pad, pc[e], cn_col, s_cn),
+            vn_pos=t.vn_pos, vn_order=t.vn_order, cn_order=t.cn_order,
+            erased_mask_sorted=t.erased_mask_sorted,
+        )
+
+
+def _rot_specs_flat(d: int, tile: int, n_tiles: int, lb: int, seam: int,
+                    block_start: int):
+    """Rotated-window BlockSpecs for a flat [nb, Z, B] source; slot k of
+    grid node i uses table row ``block_start + i*d + k``."""
+    specs = []
+    n_halo = tile // seam if seam else 0
+    for k in range(d):
+        if seam:
+            def prev_map(i, j, l, tab, _k=k):
+                e = block_start + i * d + _k
+                m = (tab[e, 2] + j - 1) % n_tiles
+                return (tab[e, 0], m * n_halo + (n_halo - 1), l)
+
+            def main_map(i, j, l, tab, _k=k):
+                e = block_start + i * d + _k
+                return (tab[e, 0], (tab[e, 2] + j) % n_tiles, l)
+
+            def next_map(i, j, l, tab, _k=k):
+                e = block_start + i * d + _k
+                m = (tab[e, 2] + j + 1) % n_tiles
+                return (tab[e, 0], m * n_halo, l)
+
+            specs.append(pl.BlockSpec((1, seam, lb), prev_map,
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec((1, tile, lb), main_map,
+                                      memory_space=pltpu.VMEM))
+            specs.append(pl.BlockSpec((1, seam, lb), next_map,
+                                      memory_space=pltpu.VMEM))
+        else:
+            for which in (0, 1):
+                def index_map(i, j, l, tab, _k=k, _w=which):
+                    e = block_start + i * d + _k
+                    return (tab[e, 0], (tab[e, 2] + j + _w) % n_tiles, l)
+
+                specs.append(pl.BlockSpec((1, tile, lb), index_map,
+                                          memory_space=pltpu.VMEM))
+    return specs
+
+
+def _rps(seam: int) -> int:
+    return 3 if seam else 2
+
+
+def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
+    """Stage slot k's fetched blocks and cut the rotated T-row window."""
+    if seam:
+        prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
+        scratch[0:seam] = prev[0].astype(jnp.float32)
+        scratch[seam : seam + tile] = main[0].astype(jnp.float32)
+        scratch[seam + tile : 2 * seam + tile] = nxt[0].astype(jnp.float32)
+    else:
+        scratch[0:tile] = refs[2 * k][0].astype(jnp.float32)
+        scratch[tile : 2 * tile] = refs[2 * k + 1][0].astype(jnp.float32)
+    fine = tab_ref[e_base + i * d + k, 3]
+    return scratch[pl.ds(fine, tile), :]
+
+
+def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
+                 beta: float, block_start: int):
+    """Grouped check-node update; refs = d slots, syn, prev-alias (ANY,
+    unused), out [d, T, lb], scratch."""
+    r = _rps(seam)
+    syn_ref = refs[r * d]
+    out_ref = refs[r * d + 2]
+    scratch = refs[r * d + 3]
+    i = pl.program_id(0)
+    m = [_window_flat(refs, k, tab_ref, block_start, i, d, tile, seam,
+                      scratch) for k in range(d)]
+    a = [jnp.abs(x) for x in m]
+    votes = syn_ref[0].astype(jnp.int32)
+    for x in m:
+        votes = votes + (1 - jnp.signbit(x).astype(jnp.int32))
+    parity = votes & 1
+    if alg == "min-sum":
+        m1 = a[0]
+        m2 = jnp.full_like(a[0], jnp.inf)
+        pos = jnp.zeros(a[0].shape, jnp.int32)
+        for k in range(1, d):
+            is_new = a[k] < m1
+            m2 = jnp.where(is_new, m1, jnp.minimum(m2, a[k]))
+            m1 = jnp.where(is_new, a[k], m1)
+            pos = jnp.where(is_new, k, pos)
+        if d == 1:
+            m2 = jnp.zeros_like(m1)  # sole edge: empty leave-one-out
+        for k in range(d):
+            other = jnp.where(pos == k, m2, m1)
+            res = jnp.maximum(other - jnp.float32(beta), 0.0)
+            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
+            out_ref[k] = jnp.where(is_neg, -res, res).astype(out_ref.dtype)
+    else:
+        ext = a[0]
+        for x in a[1:]:
+            ext = ext + x
+        for k in range(d):
+            res = _phi_abs_f32(ext - a[k])
+            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
+            out_ref[k] = jnp.where(is_neg, -res, res).astype(out_ref.dtype)
+
+
+def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
+                 emit_bits: bool, alg: str, clamp: float, block_start: int):
+    """Grouped variable-node update; refs = d slots, llr, prev-alias (ANY),
+    out msgs [d, T, lb], (bits [1, T, lb]), scratch."""
+    r = _rps(seam)
+    llr_ref = refs[r * d]
+    out_msgs = refs[r * d + 2]
+    out_bits = refs[r * d + 3] if emit_bits else None
+    scratch = refs[r * d + 3 + (1 if emit_bits else 0)]
+    i = pl.program_id(0)
+    w = [_window_flat(refs, k, tab_ref, block_start, i, d, tile, seam,
+                      scratch) for k in range(d)]
+    total = llr_ref[0].astype(jnp.float32)
+    for x in w:
+        total = total + x
+    if emit_bits:
+        out_bits[0] = (~jnp.signbit(total)).astype(jnp.int8)
+    for k in range(d):
+        pre = total - w[k]
+        if alg == "min-sum":
+            out_msgs[k] = jnp.clip(pre, -clamp, clamp).astype(
+                out_msgs.dtype)
+        else:
+            out_msgs[k] = jnp.copysign(
+                _phi_abs_f32(jnp.abs(pre)), pre
+            ).astype(out_msgs.dtype)
+
+
+def _parity_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
+                     block_start: int):
+    r = _rps(seam)
+    syn_ref = refs[r * d]
+    out_ref = refs[r * d + 1]
+    scratch = refs[r * d + 2]
+    i = pl.program_id(0)
+    acc = syn_ref[0].astype(jnp.int32)
+    for k in range(d):
+        if seam:
+            prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
+            scratch[0:seam] = prev[0].astype(jnp.int32)
+            scratch[seam : seam + tile] = main[0].astype(jnp.int32)
+            scratch[seam + tile : 2 * seam + tile] = nxt[0].astype(jnp.int32)
+        else:
+            scratch[0:tile] = refs[2 * k][0].astype(jnp.int32)
+            scratch[tile : 2 * tile] = refs[2 * k + 1][0].astype(jnp.int32)
+        acc = acc + scratch[pl.ds(tab_ref[block_start + i * d + k, 3],
+                                  tile), :]
+    viol = acc & 1
+    out_ref[0, 0] = jnp.broadcast_to(
+        jnp.max(viol, axis=0, keepdims=True), out_ref.shape[2:]
+    ).astype(jnp.int8)
+
+
+def _alias_index(num_prefetch: int, operand_pos: int) -> int:
+    """input_output_aliases position: counts scalar-prefetch operands."""
+    return num_prefetch + operand_pos
+
+
+def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
+                    alg: str = "sum-product", beta: float = 0.0):
+    """msgs_v [nb, Z, B] (vn order), syn3 [R, Z, B] -> r_c [nb, Z, B]
+    (check order); r_c_prev is donated and partially overwritten group by
+    group."""
+    T, Z, B = tables.tile, tables.Z, msgs_v.shape[-1]
+    NT = Z // T
+    lb = _lane_block(B)
+    rps = _rps(tables.seam)
+    r_c = r_c_prev
+    for g in tables.row_groups:
+        d = g.degree
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g.count, NT, B // lb),
+            in_specs=_rot_specs_flat(d, T, NT, lb, tables.seam,
+                                     g.block_start)
+            + [
+                pl.BlockSpec(
+                    (1, T, lb),
+                    lambda i, j, l, *_, _ns=g.node_start: (_ns + i, j, l),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # alias target
+            ],
+            out_specs=pl.BlockSpec(
+                (d, T, lb),
+                lambda i, j, l, *_, _bs=g.block_start // d: (_bs + i, j, l),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
+            ],
+        )
+        r_c = pl.pallas_call(
+            partial(_cn_kernel_g, d=d, tile=T, seam=tables.seam, alg=alg,
+                    beta=beta, block_start=g.block_start),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((tables.nbc_pad, Z, B),
+                                           msgs_v.dtype),
+            input_output_aliases={
+                _alias_index(1, rps * d + 1): 0
+            },
+            interpret=_interpret(),
+        )(tables.cn_read, *([msgs_v] * (rps * d)), syn3, r_c)
+    return r_c
+
+
+def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
+                    emit_bits: bool, alg: str = "sum-product",
+                    clamp: float = 64.0):
+    """r_c [nb, Z, B] -> msgs_v [nb, Z, B] (+ per-group bits concat
+    [C, Z, B] int8 when emit_bits); msgs_prev donated."""
+    T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
+    NT = Z // T
+    lb = _lane_block(B)
+    rps = _rps(tables.seam)
+    msgs = msgs_prev
+    bits_parts = []
+    for g in tables.col_groups:
+        d = g.degree
+        out_specs = [
+            pl.BlockSpec(
+                (d, T, lb),
+                lambda i, j, l, *_, _bs=g.block_start // d: (_bs + i, j, l),
+                memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((tables.nbv_pad, Z, B), r_c.dtype),
+        ]
+        if emit_bits:
+            out_specs.append(
+                pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
+                             memory_space=pltpu.VMEM))
+            out_shape.append(
+                jax.ShapeDtypeStruct((g.count, Z, B), jnp.int8))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g.count, NT, B // lb),
+            in_specs=_rot_specs_flat(d, T, NT, lb, tables.seam,
+                                     g.block_start)
+            + [
+                pl.BlockSpec(
+                    (1, T, lb),
+                    lambda i, j, l, *_, _ns=g.node_start: (_ns + i, j, l),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # alias target
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
+            ],
+        )
+        out = pl.pallas_call(
+            partial(_vn_kernel_g, d=d, tile=T, seam=tables.seam,
+                    emit_bits=emit_bits, alg=alg, clamp=clamp,
+                    block_start=g.block_start),
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            input_output_aliases={
+                _alias_index(1, rps * d + 1): 0
+            },
+            interpret=_interpret(),
+        )(tables.vn_read, *([r_c] * (rps * d)), llr3, msgs)
+        if emit_bits:
+            msgs, bits_g = out
+            bits_parts.append(bits_g)
+        else:
+            msgs = out[0] if isinstance(out, (list, tuple)) else out
+    if emit_bits:
+        return msgs, jnp.concatenate(bits_parts, axis=0)
+    return msgs, None
+
+
+def parity_pass_grouped(bits, syn3, tables: GroupedQCPallasTables):
+    """bits [C, Z, B] int8 (sorted col blocks), syn3 [R, Z, B] -> [B]."""
+    T, Z, B = tables.tile, tables.Z, bits.shape[-1]
+    NT = Z // T
+    lb = _lane_block(B)
+    rps = _rps(tables.seam)
+    flags = []
+    for g in tables.row_groups:
+        d = g.degree
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g.count, NT, B // lb),
+            in_specs=_rot_specs_flat(d, T, NT, lb, tables.seam,
+                                     g.block_start)
+            + [
+                pl.BlockSpec(
+                    (1, T, lb),
+                    lambda i, j, l, *_, _ns=g.node_start: (_ns + i, j, l),
+                    memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, lb), lambda i, j, l, *_: (i, j, 0, l),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.int32)
+            ],
+        )
+        viol = pl.pallas_call(
+            partial(_parity_kernel_g, d=d, tile=T, seam=tables.seam,
+                    block_start=g.block_start),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((g.count, NT, 8, B), jnp.int8),
+            interpret=_interpret(),
+        )(tables.cn_col_read, *([bits] * (rps * d)), syn3)
+        flags.append(jnp.any(viol[:, :, 0] > 0, axis=(0, 1)))
+    return jnp.any(jnp.stack(flags), axis=0)
+
+
+def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
+                             dtype=jnp.float32, alg: str = "sum-product"):
+    """[E, B] fresh vn-order flat messages from sorted 2-D LLRs."""
+    B = llr2d.shape[-1]
+    llr = llr2d.reshape(tables.C, tables.Z, B).astype(jnp.float32)
+    if alg == "min-sum":
+        p = llr
+    else:
+        p = jnp.copysign(_phi_abs_f32(jnp.abs(llr)), llr)
+    # vn block u belongs to sorted column: expand per col group, with
+    # zero padding blocks between groups (padded flat layout)
+    parts = []
+    pos = 0
+    for g in tables.col_groups:
+        if g.block_start > pos:
+            parts.append(jnp.zeros(
+                (g.block_start - pos, tables.Z, B), jnp.float32))
+        cols = p[g.node_start : g.node_start + g.count]
+        parts.append(
+            jnp.broadcast_to(
+                cols[:, None], (g.count, g.degree, tables.Z, B)
+            ).reshape(g.count * g.degree, tables.Z, B)
+        )
+        pos = g.block_start + g.count * g.degree
+    m = jnp.concatenate(parts, axis=0).astype(dtype)
+    return m.reshape(tables.nbv_pad * tables.Z, B)
+
+
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp"))
+def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
+                              tables: GroupedQCPallasTables, k: int,
+                              alg: str = "sum-product", beta: float = 0.0,
+                              clamp: float = 64.0):
+    """2-D-interface twin of run_iterations_qc_pallas for irregular bases.
+
+    Carries (msgs_v, r_c) through the superstep so the per-group aliased
+    writes recycle the same two edge-sized buffers with no extra traffic.
+    """
+    B = msgs2d.shape[-1]
+    Z = tables.Z
+    msgs = msgs2d.reshape(tables.nbv_pad, Z, B)
+    llr = llr2d.reshape(tables.C, Z, B).astype(msgs.dtype)
+    syn = syn2d.reshape(tables.R, Z, B)
+    r_c0 = jnp.zeros((tables.nbc_pad, Z, B), msgs.dtype)
+
+    def body(_, carry):
+        m, rc = carry
+        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta)
+        m, _ = vn_pass_grouped(rc, llr, m, tables, emit_bits=False,
+                               alg=alg, clamp=clamp)
+        return m, rc
+
+    msgs, r_c = jax.lax.fori_loop(0, k - 1, body, (msgs, r_c0))
+    r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta)
+    msgs, bits = vn_pass_grouped(r_c, llr, msgs, tables, emit_bits=True,
+                                 alg=alg, clamp=clamp)
+    violated = parity_pass_grouped(bits, syn, tables)
+    return (
+        msgs.reshape(tables.nbv_pad * Z, B),
+        bits.reshape(tables.n_vars, B),
+        violated,
+    )
+
+
+def syndrome_from_bits_qc_grouped(bits2d, tables: GroupedQCPallasTables):
+    """[n_checks, B] syndrome from sorted 2-D bits (datagen helper;
+    XLA roll path — runs once per pool)."""
+    B = bits2d.shape[-1]
+    bits = bits2d.reshape(tables.C, tables.Z, B)
+    T = tables.tile
+    outs = []
+    for g in tables.row_groups:
+        sl = tables.cn_col_read[
+            g.block_start : g.block_start + g.count * g.degree
+        ]
+        col = sl[:, 0]
+        fine = sl[:, 3] - (tables.seam if tables.seam else 0)
+        s = (sl[:, 2] * T + fine) % tables.Z
+        blocks = jnp.take(bits, col, axis=0)
+        rolled = jax.vmap(lambda xb, sb: jnp.roll(xb, -sb, axis=0))(
+            blocks, s)
+        x = jnp.sum(
+            rolled.reshape(g.count, g.degree, tables.Z, B).astype(jnp.int32),
+            axis=1,
+        )
+        outs.append((x & 1).astype(jnp.int8).reshape(-1, B))
+    return jnp.concatenate(outs).reshape(tables.n_checks, B)

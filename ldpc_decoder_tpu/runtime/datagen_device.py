@@ -81,8 +81,14 @@ def _make_pool(
         QCPallasTables,
         syndrome_from_bits_qc_pallas,
     )
+    from ldpc_decoder_tpu.ops.qc_pallas_grouped import (
+        GroupedQCPallasTables,
+        syndrome_from_bits_qc_grouped,
+    )
 
-    if isinstance(tables, QCPallasTables):
+    if isinstance(tables, GroupedQCPallasTables):
+        syn_sorted = syndrome_from_bits_qc_grouped(bits_sorted, tables)
+    elif isinstance(tables, QCPallasTables):
         syn_sorted = syndrome_from_bits_qc_pallas(bits_sorted, tables)
     elif isinstance(tables, QCDecodeTables):
         syn_sorted = syndrome_from_bits_qc(bits_sorted, tables)

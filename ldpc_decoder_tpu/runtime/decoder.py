@@ -152,15 +152,15 @@ class LDPCDecoder:
                 raise ValueError("QC structure does not match the code")
             impl = (static_params or StaticParams()).kernel_impl
             regular = len(qct.row_groups) == 1 and len(qct.col_groups) == 1
-            if impl == "pallas" or (impl == "auto" and regular):
+            msg_bytes = (
+                2
+                if (static_params or StaticParams()).message_dtype
+                == "bfloat16"
+                else 4
+            )
+            if impl in ("pallas", "auto") and regular:
                 from ldpc_decoder_tpu.ops import qc_pallas
 
-                msg_bytes = (
-                    2
-                    if (static_params or StaticParams()).message_dtype
-                    == "bfloat16"
-                    else 4
-                )
                 self.tables = qc_pallas.QCPallasTables.from_qc_tables(
                     qct, msg_bytes=msg_bytes
                 )
@@ -169,6 +169,19 @@ class LDPCDecoder:
                 )
                 self._init_messages = partial(
                     qc_pallas.init_messages_qc_pallas,
+                    alg=self.params.algorithm,
+                )
+            elif impl in ("pallas", "auto") and not regular:
+                from ldpc_decoder_tpu.ops import qc_pallas_grouped as qg
+
+                self.tables = qg.GroupedQCPallasTables.from_qc_tables(
+                    qct, msg_bytes=msg_bytes
+                )
+                self._run_iterations = self._bind_alg(
+                    qg.run_iterations_qc_grouped
+                )
+                self._init_messages = partial(
+                    qg.init_messages_qc_grouped,
                     alg=self.params.algorithm,
                 )
             else:
@@ -233,8 +246,14 @@ class LDPCDecoder:
         msg_bytes = 2 if self.msg_dtype == jnp.bfloat16 else 4
         e, nv, nc = self.code.n_edges, self.code.n_vars, self.code.n_checks
         from ldpc_decoder_tpu.ops.qc_pallas import QCPallasTables
+        from ldpc_decoder_tpu.ops.qc_pallas_grouped import (
+            GroupedQCPallasTables,
+        )
 
-        if isinstance(self.tables, QCPallasTables):
+        if isinstance(self.tables, GroupedQCPallasTables):
+            ep = (self.tables.nbv_pad + self.tables.nbc_pad) * self.tables.Z
+            per_lane = (ep + e) * msg_bytes + 3 * nv * 4 + nc
+        elif isinstance(self.tables, QCPallasTables):
             # fused kernels materialize only msgs_v + r_c (+ one pipeline
             # margin) in the message dtype, plus llr/totals in fp32
             per_lane = 3 * e * msg_bytes + 3 * nv * 4 + nc

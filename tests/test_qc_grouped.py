@@ -1,0 +1,119 @@
+"""Grouped (irregular-base) Pallas kernels vs the XLA QC oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_decoder_tpu.channels import BIAWGNChannel
+from ldpc_decoder_tpu.codes.protographs import ar4ja_base, ru_irregular_base
+from ldpc_decoder_tpu.codes.qc import make_qc_code
+from ldpc_decoder_tpu.runtime.datagen import create_data
+from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+
+def _decoders(code, s, ch, **kw):
+    return (
+        LDPCDecoder(code, ch, StaticParams(
+            max_log_parallel_factor_user=3, kernel_impl="pallas", **kw),
+            qc=s),
+        LDPCDecoder(code, ch, StaticParams(
+            max_log_parallel_factor_user=3, kernel_impl="xla", **kw),
+            qc=s),
+    )
+
+
+def _check_equivalence(code, s, ch, n=8, ks=(1, 3)):
+    dec_pl, dec_xla = _decoders(code, s, ch)
+    from ldpc_decoder_tpu.ops.qc_pallas_grouped import GroupedQCPallasTables
+
+    assert isinstance(dec_pl.tables, GroupedQCPallasTables)
+    batch = create_data(code, ch, 0, n)
+    t = dec_pl.tables
+    llr2d = jnp.asarray(
+        ch.llr_np(batch.values)[np.asarray(t.vn_order)][:, :n])
+    syn2d = jnp.asarray(batch.syndromes[np.asarray(t.cn_order)][:, :n])
+    m_pl = dec_pl._init_messages(llr2d, t)
+    m_xla = dec_xla._init_messages(llr2d, dec_xla.tables)
+    for k in ks:
+        _, bits_pl, viol_pl = dec_pl._run_iterations(
+            m_pl, llr2d, syn2d, t, k)
+        _, bits_xla, viol_xla = dec_xla._run_iterations(
+            m_xla, llr2d, syn2d, dec_xla.tables, k)
+        np.testing.assert_array_equal(
+            np.asarray(bits_pl), np.asarray(bits_xla))
+        np.testing.assert_array_equal(
+            np.asarray(viol_pl), np.asarray(viol_xla))
+
+
+def test_ru_irregular_grouped_matches_xla():
+    base, _ = ru_irregular_base(3, seed=4)  # 9x18 base, degrees {2,3,8}/{6,7}
+    code, s = make_qc_code(base, Z=256, seed=5)
+    _check_equivalence(code, s, BIAWGNChannel(0.8))
+
+
+def test_ar4ja_grouped_matches_xla():
+    base, _ = ar4ja_base()
+    code, s = make_qc_code(base, Z=512, seed=6)
+    _check_equivalence(code, s, BIAWGNChannel(0.8))
+
+
+def test_grouped_seam_mode_matches_xla():
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=1024, seed=7, coarse=256, fine_mod=4)
+    ch = BIAWGNChannel(0.8)
+    dec_pl, _ = _decoders(code, s, ch)
+    assert dec_pl.tables.seam > 0
+    _check_equivalence(code, s, ch)
+
+
+def test_grouped_end_to_end_decode():
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=512, seed=8)
+    ch = BIAWGNChannel(0.75)
+    dec, _ = _decoders(code, s, ch)
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=2)
+    n = dec.parallel_factor() * 2
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
+
+
+def test_grouped_minsum_end_to_end():
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=512, seed=9)
+    ch = BIAWGNChannel(0.65)
+    dec, _ = _decoders(code, s, ch, algorithm="min-sum",
+                       message_dtype="bfloat16")
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=1)
+    n = dec.parallel_factor()
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
+
+
+def test_ar4ja_punctured_end_to_end():
+    """AR4JA with its punctured column: erased variables get LLR 0 and are
+    still recovered (the reference's #e= machinery, main.cpp:529-530)."""
+    from ldpc_decoder_tpu.codes.protographs import make_protograph_code
+    from ldpc_decoder_tpu.codes.code import rate
+
+    base, punct = ar4ja_base()
+    code, s = make_protograph_code(base, punct, Z=512, seed=11)
+    assert code.n_erased_vars == 512
+    assert abs(rate(code) - 0.5) < 1e-9
+    ch = BIAWGNChannel(0.7)
+    dec, _ = _decoders(code, s, ch)
+    dyn = DynamicParams(num_iter_max=80, num_iter_check_parity=5,
+                        loading_factor=1)
+    n = dec.parallel_factor()
+    batch = create_data(code, ch, 0, n)
+    # erased tail carries no channel value
+    assert (batch.values[-512:] == 0).all()
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
