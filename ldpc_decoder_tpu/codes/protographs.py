@@ -120,14 +120,17 @@ def regular_base(R: int, C: int, dv: int, dc: int, seed: int = 0):
         raise ValueError("degree/size mismatch: R*dc must equal C*dv")
     rng = np.random.default_rng(seed)
     for _ in range(500):
-        stubs_c = np.repeat(np.arange(R), dc)
-        rng.shuffle(stubs_c)
-        pairs = set(zip(stubs_c.tolist(),
-                        np.repeat(np.arange(C), dv).tolist()))
-        if len(pairs) == R * dc:
-            base = np.zeros((R, C), dtype=np.int8)
-            for r, c in pairs:
-                base[r, c] = 1
+        cap = np.full(R, dc, dtype=np.float64)
+        base = np.zeros((R, C), dtype=np.int8)
+        ok = True
+        for c in range(C):
+            if (cap > 0).sum() < dv:
+                ok = False
+                break
+            picks = rng.choice(R, size=dv, replace=False, p=cap / cap.sum())
+            base[picks, c] = 1
+            cap[picks] -= 1
+        if ok and (base.sum(axis=1) == dc).all():
             return base
         rng = np.random.default_rng(rng.integers(1 << 31))
     raise RuntimeError("could not realize a simple regular base")
