@@ -20,12 +20,19 @@ import jax.numpy as jnp
 
 PRE_THRESHOLD = 1e-5  # flood.cu:14
 TAYLOR_LIMIT = 5.0  # flood.cu:32
+# Input high clamp: keeps φ(x) >= 2e^-80 ≈ 3.6e-35 — a *normal* bfloat16 —
+# so saturated messages never underflow to ±0 (where the sign, i.e. the
+# hard decision, would be lost and near-converged frames explode). The
+# reference bounds |LLR| far tighter via its infinity threshold of 10
+# (ldpc_decoder_gpu_common.h:27-30); 80 is numerically inert for decoding.
+HIGH_THRESHOLD = 80.0
 
 
 def phi_abs(x: jnp.ndarray) -> jnp.ndarray:
     """φ_abs = -log(tanh(x/2)) for x >= 0, fp32, reference-clamped."""
     x32 = x.astype(jnp.float32)
-    xm = jnp.maximum(x32, jnp.float32(PRE_THRESHOLD))
+    xm = jnp.clip(x32, jnp.float32(PRE_THRESHOLD),
+                  jnp.float32(HIGH_THRESHOLD))
     main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
@@ -43,6 +50,6 @@ def phi_abs_np(x):
     import numpy as np
 
     x = np.asarray(x, dtype=np.float64)
-    xm = np.maximum(x, PRE_THRESHOLD)
+    xm = np.clip(x, PRE_THRESHOLD, HIGH_THRESHOLD)
     main = -np.log(np.tanh(xm * 0.5))
     return np.where(xm > TAYLOR_LIMIT, 2.0 * np.exp(-xm), main)

@@ -49,14 +49,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, TAYLOR_LIMIT
+from ldpc_decoder_tpu.ops.phi import (
+    HIGH_THRESHOLD,
+    PRE_THRESHOLD,
+    TAYLOR_LIMIT,
+)
 from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
 
 MAX_SEAM = 64  # max halo rows per side in seam mode (12.5% of a 1024 tile)
 
 
 def _phi_abs_f32(x):
-    xm = jnp.maximum(x, jnp.float32(PRE_THRESHOLD))
+    # high clamp keeps φ a normal bfloat16 (sign survives storage) —
+    # see ops/phi.py HIGH_THRESHOLD
+    xm = jnp.clip(x, jnp.float32(PRE_THRESHOLD),
+                  jnp.float32(HIGH_THRESHOLD))
     main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 

@@ -232,17 +232,24 @@ def _rps(seam: int) -> int:
 
 
 def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
-    """Stage slot k's fetched blocks and cut the rotated T-row window."""
+    """Stage slot k's fetched blocks and cut the rotated T-row window.
+
+    Every slot stages into its own scratch region (``scratch[k]``): the
+    kernels keep all d window values live across the whole node update, and
+    re-slicing one shared region after it was overwritten for the next slot
+    is a WAR hazard once Mosaic defers the dynamic-offset loads (observed
+    as slow state corruption on v5e with bf16 inputs)."""
     if seam:
         prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
-        scratch[0:seam] = prev[0].astype(jnp.float32)
-        scratch[seam : seam + tile] = main[0].astype(jnp.float32)
-        scratch[seam + tile : 2 * seam + tile] = nxt[0].astype(jnp.float32)
+        scratch[k, 0:seam, :] = prev[0].astype(jnp.float32)
+        scratch[k, seam : seam + tile, :] = main[0].astype(jnp.float32)
+        scratch[k, seam + tile : 2 * seam + tile, :] = (
+            nxt[0].astype(jnp.float32))
     else:
-        scratch[0:tile] = refs[2 * k][0].astype(jnp.float32)
-        scratch[tile : 2 * tile] = refs[2 * k + 1][0].astype(jnp.float32)
+        scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.float32)
+        scratch[k, tile : 2 * tile, :] = refs[2 * k + 1][0].astype(jnp.float32)
     fine = tab_ref[e_base + i * d + k, 3]
-    return scratch[pl.ds(fine, tile), :]
+    return scratch[k, pl.ds(fine, tile), :]
 
 
 def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
@@ -326,14 +333,16 @@ def _parity_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
     for k in range(d):
         if seam:
             prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
-            scratch[0:seam] = prev[0].astype(jnp.int32)
-            scratch[seam : seam + tile] = main[0].astype(jnp.int32)
-            scratch[seam + tile : 2 * seam + tile] = nxt[0].astype(jnp.int32)
+            scratch[k, 0:seam, :] = prev[0].astype(jnp.int32)
+            scratch[k, seam : seam + tile, :] = main[0].astype(jnp.int32)
+            scratch[k, seam + tile : 2 * seam + tile, :] = (
+                nxt[0].astype(jnp.int32))
         else:
-            scratch[0:tile] = refs[2 * k][0].astype(jnp.int32)
-            scratch[tile : 2 * tile] = refs[2 * k + 1][0].astype(jnp.int32)
-        acc = acc + scratch[pl.ds(tab_ref[block_start + i * d + k, 3],
-                                  tile), :]
+            scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.int32)
+            scratch[k, tile : 2 * tile, :] = refs[2 * k + 1][0].astype(
+                jnp.int32)
+        acc = acc + scratch[k, pl.ds(tab_ref[block_start + i * d + k, 3],
+                                     tile), :]
     viol = acc & 1
     out_ref[0, 0] = jnp.broadcast_to(
         jnp.max(viol, axis=0, keepdims=True), out_ref.shape[2:]
@@ -374,7 +383,8 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
                 lambda i, j, l, *_, _bs=g.block_start // d: (_bs + i, j, l),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
+                pltpu.VMEM((d, _scratch_rows(T, tables.seam), lb),
+                           jnp.float32)
             ],
         )
         r_c = pl.pallas_call(
@@ -433,7 +443,8 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
             ],
             out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
+                pltpu.VMEM((d, _scratch_rows(T, tables.seam), lb),
+                           jnp.float32)
             ],
         )
         out = pl.pallas_call(
@@ -481,7 +492,8 @@ def parity_pass_grouped(bits, syn3, tables: GroupedQCPallasTables):
                 (1, 1, 8, lb), lambda i, j, l, *_: (i, j, 0, l),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.int32)
+                pltpu.VMEM((d, _scratch_rows(T, tables.seam), lb),
+                           jnp.int32)
             ],
         )
         viol = pl.pallas_call(
