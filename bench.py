@@ -65,6 +65,47 @@ def get_code():
     return code, s
 
 
+RU_ALIST = os.path.join(os.path.dirname(__file__), "codes_cache",
+                        "bench_ru24_awgn_r05_1032192_g8.alist")
+
+
+def run_ru_secondary():
+    """Decode the RU max-dv-8 irregular 2^20 code (sigma* ~ 0.9497) at
+    sigma 0.90 — the FER-matched comparison point with the reference."""
+    from ldpc_decoder_tpu.codes.protographs import ru_irregular_base
+    from ldpc_decoder_tpu.codes.qc import (
+        load_qc_alist, make_qc_code, write_qc_alist)
+    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.runtime.datagen_device import (
+        count_bit_errors, create_pool_device)
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    if os.path.exists(RU_ALIST):
+        code, s = load_qc_alist(RU_ALIST)
+    else:
+        base, _ = ru_irregular_base(4, seed=7)
+        code, s = make_qc_code(base, Z=43008, seed=2, coarse=1024,
+                               fine_mod=64, min_girth=8)
+        write_qc_alist(code, s, RU_ALIST)
+    ch = BIAWGNChannel(0.90)
+    dec = LDPCDecoder(code, ch,
+                      StaticParams(max_log_parallel_factor_user=8,
+                                   message_dtype="bfloat16"), qc=s)
+    dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
+                        loading_factor=2, target_errors=15)
+    n = (dec.parallel_factor() * 2 // 32) * 32
+    pool = create_pool_device(dec.cc, dec.tables, ch, 0, n)
+    _ = dec.decode_presorted(dyn, n, pool.values_sorted, pool.syn_sorted,
+                             fetch_results=False)
+    results, stats = dec.decode_presorted(
+        dyn, n, pool.values_sorted, pool.syn_sorted, fetch_results=False)
+    errors = np.asarray(count_bit_errors(results, pool.ref_packed))
+    mbps = code.n_vars / (stats.avg_iter * stats.iter_time_per_vector
+                          * 1048576.0)
+    return mbps, float((errors > 0).mean())
+
+
 def main():
     t_all = time.perf_counter()
     from ldpc_decoder_tpu.channels import BIAWGNChannel
@@ -130,6 +171,19 @@ def main():
     )
     log(f"decoding throughput: {dec_mbps:.1f} Mb/s; end-to-end {e2e_mbps:.1f}"
         f" Mb/s; total wall {time.perf_counter()-t_all:.1f}s")
+
+    # secondary, FER-matched datapoint: the RU irregular 2^20 code at
+    # sigma 0.90 operates at the reference's own FER (~0.05 at >=1 error,
+    # README.md:99) and 91% of Shannon (reference: 94.9% on its
+    # unpublished code) — the closest apples-to-apples configuration
+    if os.environ.get("BENCH_SECONDARY", "1") != "0":
+        try:
+            ru_mbps, ru_fer = run_ru_secondary()
+            log(f"secondary (RU irregular, sigma 0.90, FER-matched): "
+                f"{ru_mbps:.1f} Mb/s, FER(>0) {ru_fer:.4f}, "
+                f"{ru_mbps / BASELINE_MBPS:.2f}x baseline")
+        except Exception as e:  # never fail the headline metric
+            log(f"secondary bench skipped: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "decoding_throughput_1Mbit_rate0.5_awgn",
