@@ -113,3 +113,43 @@ def test_make_channel():
     assert isinstance(make_channel(1, 0.9), BIAWGNChannel)
     with pytest.raises(ValueError):
         make_channel(7, 0.1)
+
+
+def test_erasure_channel():
+    import numpy as np
+
+    from ldpc_decoder_tpu.channels import ErasureChannel, make_channel
+    from ldpc_decoder_tpu.rng.chacha_np import PrngChacha
+
+    ch = make_channel(2, 0.3)
+    assert isinstance(ch, ErasureChannel)
+    assert abs(ch.capacity() - 0.7) < 1e-12
+    prng = PrngChacha(5)
+    vals = np.ones(10000, np.float32)
+    out = ch.add_noise_np(prng, vals)
+    frac = (out == 0).mean()
+    assert 0.25 < frac < 0.35
+    llr = ch.llr_np(out)
+    assert (llr[out == 0] == 0).all()
+    assert (llr[out != 0] > 0).all()
+
+
+def test_erasure_decode_end_to_end():
+    import numpy as np
+
+    from ldpc_decoder_tpu.channels import ErasureChannel
+    from ldpc_decoder_tpu.codes.generate import make_regular_code
+    from ldpc_decoder_tpu.runtime.datagen import create_data
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    code = make_regular_code(1024, 3, 6, seed=4)
+    ch = ErasureChannel(0.3)  # well below the (3,6) BEC threshold 0.4294
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=3))
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=1)
+    n = dec.parallel_factor()
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
