@@ -177,6 +177,11 @@ def main():
     # README.md:99) and 91% of Shannon (reference: 94.9% on its
     # unpublished code) — the closest apples-to-apples configuration
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
+        # release the flagship pool/decoder HBM first
+        import gc
+
+        del pool, results, dec
+        gc.collect()
         try:
             ru_mbps, ru_fer = run_ru_secondary()
             log(f"secondary (RU irregular, sigma 0.90, FER-matched): "
