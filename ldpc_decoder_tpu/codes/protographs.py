@@ -45,6 +45,14 @@ def ar4ja_base(rate_num: int = 1, rate_den: int = 2):
     Currently rate 1/2 (the reference's flagship rate). Higher-rate AR4JA
     members extend the base with paired degree-4 columns (JSAC 2009,
     Fig. 13) and can be added the same way.
+
+    Status: the lift machinery (multi-edge expansion, puncturing, grouped
+    kernels) is tested end-to-end at small Z, but *naive random shift
+    selection does not give a good large-Z AR4JA*: measured BER floors
+    ~1e-4 at n=10^6 (small trapping sets through the parallel-edge
+    circulants). Production AR4JA needs the girth-aware two-stage lifting
+    of CCSDS 131.1; use :func:`ru_irregular_base` for a working
+    near-capacity irregular ensemble meanwhile.
     """
     if (rate_num, rate_den) == (1, 2):
         return AR4JA_RATE_12.copy(), AR4JA_RATE_12_PUNCTURED_COLS

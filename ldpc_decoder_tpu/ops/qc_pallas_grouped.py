@@ -138,13 +138,13 @@ class GroupedQCPallasTables:
             return (s // tile) % NT, s % tile, 0
 
         # seam mode with the largest feasible tile, else tile-pair mode.
-        # VMEM budget (measured on v5e, 16 MiB scoped limit): the widest
-        # group's double-buffered blocks fit iff d_max*tile*msg_bytes
-        # <= 12288.
+        # VMEM budget (measured on v5e, 16 MiB scoped limit): with the
+        # per-slot staging scratch, the widest group fits iff
+        # d_max*tile*msg_bytes <= 8192.
         d_max = max(g.degree for g in t.row_groups + t.col_groups)
         tile, seam = None, 0
         cand = 1024
-        while cand >= 256 and d_max * cand * msg_bytes > 12288:
+        while cand >= 256 and d_max * cand * msg_bytes > 8192:
             cand //= 2
         while cand >= 128:
             if Z % cand == 0:
@@ -158,7 +158,7 @@ class GroupedQCPallasTables:
             cand //= 2
         if tile is None:
             tile = 512
-            while Z % tile or d_max * tile * msg_bytes > 12288:
+            while Z % tile or d_max * tile * msg_bytes > 8192:
                 tile //= 2
             if tile < 32:
                 raise ValueError(f"Z={Z} has no usable tile divisor")
