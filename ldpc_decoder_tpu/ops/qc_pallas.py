@@ -59,11 +59,19 @@ from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
 MAX_SEAM = 64  # max halo rows per side in seam mode (12.5% of a 1024 tile)
 
 
-def _phi_abs_f32(x):
-    # high clamp keeps φ a normal bfloat16 (sign survives storage) —
-    # see ops/phi.py HIGH_THRESHOLD
-    xm = jnp.clip(x, jnp.float32(PRE_THRESHOLD),
-                  jnp.float32(HIGH_THRESHOLD))
+# φ input clamp per message storage dtype: keeps φ(x) a *normal* value of
+# the storage type so the sign always survives (see ops/phi.py). fp8 e5m2
+# (min normal 6.1e-5) needs the reference's own infinity threshold of 10
+# (φ(10) = 9.1e-5, ldpc_decoder_gpu_common.h:27-30).
+PHI_HIGH_BY_DTYPE = {"float8_e5m2": 10.0}
+
+
+def _phi_high(dtype) -> float:
+    return PHI_HIGH_BY_DTYPE.get(jnp.dtype(dtype).name, HIGH_THRESHOLD)
+
+
+def _phi_abs_f32(x, high: float = HIGH_THRESHOLD):
+    xm = jnp.clip(x, jnp.float32(PRE_THRESHOLD), jnp.float32(high))
     main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
@@ -293,7 +301,7 @@ def _scratch_rows(tile: int, seam: int) -> int:
 
 
 def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
-               beta: float):
+               beta: float, phi_high: float):
     """Check-node update (flood_backward) with rotated reads.
 
     refs = d_c slots' message blocks, syndrome tile, output [1, d_c, T, B],
@@ -334,14 +342,14 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
         for x in a[1:]:
             ext = ext + x
         for k in range(d_c):
-            res = _phi_abs_f32(ext - a[k])
+            res = _phi_abs_f32(ext - a[k], phi_high)
             is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
             out_ref[0, k] = jnp.where(is_neg, -res, res).astype(
                 out_ref.dtype)
 
 
 def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
-               emit_bits: bool, alg: str, clamp: float):
+               emit_bits: bool, alg: str, clamp: float, phi_high: float):
     """Variable-node update (flood_forward) with rotated reads.
 
     refs = d_v slots' r_c blocks, llr tile, then out refs
@@ -371,7 +379,7 @@ def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
                 out_msgs.dtype)
         else:
             out_msgs[0, k] = jnp.copysign(
-                _phi_abs_f32(jnp.abs(pre)), pre
+                _phi_abs_f32(jnp.abs(pre), phi_high), pre
             ).astype(out_msgs.dtype)
 
 
@@ -401,7 +409,7 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
     )
     return pl.pallas_call(
         partial(_cn_kernel, d_c=tables.d_c, tile=T, seam=tables.seam,
-                alg=alg, beta=beta),
+                alg=alg, beta=beta, phi_high=_phi_high(msgs_v.dtype)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (tables.R, tables.d_c, Z, B), msgs_v.dtype
@@ -451,7 +459,8 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
     )
     out = pl.pallas_call(
         partial(_vn_kernel, d_v=tables.d_v, tile=T, seam=tables.seam,
-                emit_bits=emit_bits, alg=alg, clamp=clamp),
+                emit_bits=emit_bits, alg=alg, clamp=clamp,
+                phi_high=_phi_high(r_c.dtype)),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
@@ -469,7 +478,9 @@ def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
     if alg == "min-sum":
         p = llr.astype(dtype)
     else:
-        p = jnp.copysign(_phi_abs_f32(jnp.abs(llr)), llr).astype(dtype)
+        p = jnp.copysign(
+            _phi_abs_f32(jnp.abs(llr), _phi_high(dtype)), llr
+        ).astype(dtype)
     m = jnp.broadcast_to(
         p[:, None], (tables.C, tables.d_v, tables.Z, B)
     )
@@ -492,8 +503,11 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     msgs = msgs2d.reshape(C, tables.d_v, Z, B)
     # channel LLRs are consumed in the message dtype (the reference's fp16
     # path stores fp16 LLRs, common.h:13-34); bf16 halves the VN pass's
-    # channel-term traffic
-    llr = llr2d.reshape(C, Z, B).astype(msgs.dtype)
+    # channel-term traffic. fp8 messages keep bf16 LLRs — channel values
+    # need more mantissa than saturating messages do.
+    ldt = (jnp.bfloat16 if jnp.dtype(msgs.dtype).itemsize == 1
+           else msgs.dtype)
+    llr = llr2d.reshape(C, Z, B).astype(ldt)
     syn = syn2d.reshape(R, Z, B)
 
     def body(_, m):

@@ -152,12 +152,9 @@ class LDPCDecoder:
                 raise ValueError("QC structure does not match the code")
             impl = (static_params or StaticParams()).kernel_impl
             regular = len(qct.row_groups) == 1 and len(qct.col_groups) == 1
-            msg_bytes = (
-                2
-                if (static_params or StaticParams()).message_dtype
-                == "bfloat16"
-                else 4
-            )
+            msg_bytes = {
+                "bfloat16": 2, "float8_e5m2": 1,
+            }.get((static_params or StaticParams()).message_dtype, 4)
             if impl in ("pallas", "auto") and regular:
                 from ldpc_decoder_tpu.ops import qc_pallas
 
@@ -200,11 +197,10 @@ class LDPCDecoder:
             self.tables = ops.DecodeTables.from_compiled(self.cc)
             self._run_iterations = ops.run_iterations
             self._init_messages = ops.init_messages
-        self.msg_dtype = (
-            jnp.bfloat16
-            if self.params.message_dtype == "bfloat16"
-            else jnp.float32
-        )
+        self.msg_dtype = {
+            "bfloat16": jnp.bfloat16,
+            "float8_e5m2": jnp.float8_e5m2,
+        }.get(self.params.message_dtype, jnp.float32)
         self.n_words = (self.code.n_vars + 31) // 32
         self._parallel_factor = self._choose_parallel_factor()
         self._superstep_cache: dict[tuple[int, int, int], callable] = {}
@@ -243,7 +239,7 @@ class LDPCDecoder:
         same dtype + llr/totals/edge-temp in fp32 + syndrome byte rows.
         Pool frames (loading_factor per lane) add raw values + syndromes.
         """
-        msg_bytes = 2 if self.msg_dtype == jnp.bfloat16 else 4
+        msg_bytes = jnp.dtype(self.msg_dtype).itemsize
         e, nv, nc = self.code.n_edges, self.code.n_vars, self.code.n_checks
         from ldpc_decoder_tpu.ops.qc_pallas import QCPallasTables
         from ldpc_decoder_tpu.ops.qc_pallas_grouped import (

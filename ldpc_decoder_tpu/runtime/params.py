@@ -18,8 +18,11 @@ class StaticParams:
     # the actual value may be lowered by the memory model (default 5,
     # h/ldpc_decoder_gpu_common.h:19)
     max_log_parallel_factor_user: int = 5
-    # message storage dtype: "float32" or "bfloat16" (the TPU analog of the
-    # reference's CUDA fp16 build option, CMakeLists.txt:13-15)
+    # message storage dtype: "float32", "bfloat16" (the TPU analog of the
+    # reference's CUDA fp16 build option, CMakeLists.txt:13-15), or
+    # "float8_e5m2" (experimental: halves message traffic again; φ is
+    # clamped at the reference's infinity threshold 10 so messages stay
+    # normal fp8 values)
     message_dtype: str = "float32"
     # fraction of device memory kept free (reference reserves 10%,
     # ldpc_decoder_gpu.cu:84-88)
