@@ -170,8 +170,12 @@ class QCPallasTables:
                     tab(tt // d_c, tt % d_c, s_vn, b_vn), seam)
 
         # largest tile whose double-buffered blocks fit the 16 MiB scoped
-        # VMEM budget (measured: bf16 fits at T=1024, f32 needs T=512)
-        cand = 1024 if msg_bytes <= 2 else 512
+        # VMEM budget (measured on v5e: the widest node's blocks fit iff
+        # d_max*tile*msg_bytes <= 12288 with the shared staging scratch)
+        d_max = max(d_c, d_v)
+        cand = 1024
+        while cand >= 256 and d_max * cand * msg_bytes > 12288:
+            cand //= 2
         while cand >= 128:
             if Z % cand == 0:
                 st = seam_tables(cand)
@@ -191,7 +195,7 @@ class QCPallasTables:
         # pair mode fallback (arbitrary shifts)
         if tile is None:
             tile = 512
-        while Z % tile:
+        while Z % tile or max(d_c, d_v) * tile * msg_bytes > 12288:
             tile //= 2
         if tile < 32:
             raise ValueError(f"Z={Z} has no usable tile divisor (>=32)")
