@@ -33,9 +33,10 @@ Mosaic has no value-level dynamic_slice, and dynamic sublane offsets are
 not supported for packed dtypes (bf16) — the upcast is needed for compute
 anyway.
 
-v1 scope: single check degree and single variable degree (regular base
-matrices). Irregular bases decode through ops/qc_decode.py (XLA) until the
-grouped-kernel variant lands.
+This module handles regular base matrices (single check/variable degree);
+irregular bases use the grouped twin in ops/qc_pallas_grouped.py (one
+fused kernel launch per degree group). ops/qc_decode.py is the XLA
+correctness oracle for both.
 """
 
 from __future__ import annotations
