@@ -1,0 +1,41 @@
+"""Multi-chip (virtual CPU mesh) decode through the QC Pallas paths."""
+
+import numpy as np
+
+from ldpc_decoder_tpu.channels import BIAWGNChannel
+from ldpc_decoder_tpu.codes.protographs import regular_base, ru_irregular_base
+from ldpc_decoder_tpu.codes.qc import make_qc_code
+from ldpc_decoder_tpu.parallel.mesh import make_batch_mesh
+from ldpc_decoder_tpu.runtime.datagen import create_data
+from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+
+def _run_sharded(code, s, ch, n_devices=4):
+    mesh = make_batch_mesh(n_devices)
+    dec = LDPCDecoder(
+        code, ch, StaticParams(max_log_parallel_factor_user=2,
+                               kernel_impl="pallas"), qc=s
+    )
+    dyn = DynamicParams(num_iter_max=50, num_iter_check_parity=5,
+                        loading_factor=2)
+    n = dec.parallel_factor() * dyn.loading_factor * n_devices
+    batch = create_data(code, ch, 0, n)
+    results, stats = dec.decode_sharded(
+        dyn, n, batch.values, batch.syndromes, mesh
+    )
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum()
+    assert int(errors) == 0
+    return stats
+
+
+def test_sharded_regular_qc_pallas():
+    base = regular_base(8, 16, 3, 6, seed=3)
+    code, s = make_qc_code(base, Z=256, seed=1, coarse=128, fine_mod=4)
+    _run_sharded(code, s, BIAWGNChannel(0.72))
+
+
+def test_sharded_grouped_qc_pallas():
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=256, seed=2)
+    _run_sharded(code, s, BIAWGNChannel(0.7))
