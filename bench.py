@@ -54,10 +54,12 @@ def get_code():
     # near-threshold BP converge onto wrong codewords; a random 16x32
     # base escapes the bound with the same degree profile/threshold
     base = regular_base(16, 32, 3, 6, seed=2)
-    # shifts on the 1024-coarse seam lattice with wide +-63 fine parts:
-    # the Pallas kernels fetch one aligned 1024-row tile + two 64-row
-    # halos per rotated window (~12.5% extra reads); rejection sampling
-    # reaches girth 8 (no 4- or 6-cycles)
+    # shifts on the 1024-coarse seam lattice with +-63 fine parts: the
+    # Pallas kernels fetch one aligned 1024-row tile + two 64-row halos
+    # per rotated window (~12.5% extra reads). The wide fine range is
+    # worth its read overhead: narrower lattices (fine_mod=16) measured
+    # ~48 avg iterations vs 41.7 here — richer shifts mean fewer
+    # 8-cycles and faster BP mixing. Girth 8 by rejection.
     code, s = make_qc_code(base, Z=32768, seed=1, coarse=1024,
                            fine_mod=64, min_girth=8)
     os.makedirs(os.path.dirname(ALIST), exist_ok=True)

@@ -29,7 +29,12 @@ HIGH_THRESHOLD = 80.0
 
 
 def phi_abs(x: jnp.ndarray) -> jnp.ndarray:
-    """φ_abs = -log(tanh(x/2)) for x >= 0, fp32, reference-clamped."""
+    """φ_abs = -log(tanh(x/2)) for x >= 0, fp32, reference-clamped.
+
+    NB: an exp+log reformulation (log((1+e^-x)/(1-e^-x))) was measured
+    *slower* on v5e — its two VPU divisions cost more than the saved
+    transcendental — so the direct tanh form stays.
+    """
     x32 = x.astype(jnp.float32)
     xm = jnp.clip(x32, jnp.float32(PRE_THRESHOLD),
                   jnp.float32(HIGH_THRESHOLD))

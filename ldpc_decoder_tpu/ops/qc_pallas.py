@@ -72,6 +72,8 @@ def _phi_high(dtype) -> float:
 
 
 def _phi_abs_f32(x, high: float = HIGH_THRESHOLD):
+    # same formula as ops/phi.py phi_abs (kept in lockstep so the
+    # XLA-oracle equality tests stay exact)
     xm = jnp.clip(x, jnp.float32(PRE_THRESHOLD), jnp.float32(high))
     main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
