@@ -84,8 +84,16 @@ def do_test(
             )
 
         out.write(" Decoding\n")
+        # log level >= 2: per-superstep convergence progress via the
+        # host-polling driver (the reference's per-iteration convergence
+        # counts at -l >= 2, ldpc_decoder_gpu.cu:391-412)
+        progress = (
+            (lambda rem: out.write(f"  frames remaining: {rem}\n"))
+            if log_level >= 2 else None
+        )
         results, stats = dec.decode(
-            dyn_params, n_vec_per_run, batch.values, batch.syndromes
+            dyn_params, n_vec_per_run, batch.values, batch.syndromes,
+            host_poll=log_level >= 2, progress=progress,
         )
         report.elapsed_time += stats.elapsed_seconds
         total_iters += int(stats.iterations.sum())
