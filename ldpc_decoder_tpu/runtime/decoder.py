@@ -274,6 +274,25 @@ class LDPCDecoder:
     def parallel_factor(self) -> int:
         return self._parallel_factor
 
+    def set_erased_variables(self, n_erased_inputs: int) -> None:
+        """Mark the trailing ``n`` variables as erased/punctured (the
+        reference's setter, h/ldpc_decoder_gpu.h:122-125): their channel
+        LLRs are zeroed at refill. Clears the compiled-superstep cache."""
+        import dataclasses
+
+        import numpy as np_
+
+        erased_nat = np_.zeros(self.code.n_vars, dtype=bool)
+        if n_erased_inputs:
+            erased_nat[self.code.n_vars - n_erased_inputs:] = True
+        mask = jnp.asarray(
+            erased_nat[np_.asarray(self.tables.vn_order)])[:, None]
+        self.tables = dataclasses.replace(
+            self.tables, erased_mask_sorted=mask)
+        self.code = dataclasses.replace(
+            self.code, n_erased_vars=int(n_erased_inputs))
+        self._superstep_cache.clear()
+
     def decoding_input_is_llr(self) -> bool:
         """Channel values are converted on device for all built-in channels
         (the llr_bsc/llr_biawgn analog), so raw channel values are expected

@@ -177,3 +177,28 @@ def test_report_formulas():
     assert "Frames with at least one error:   24 (corresponding FER: 0.046875)" in text
     assert "159.456" in text  # throughput incl transfers
     assert "200.27" in text  # decoding throughput
+
+
+def test_set_erased_variables():
+    """Reference API parity (h/ldpc_decoder_gpu.h:122-125): marking the
+    trailing variables erased zeroes their LLRs at refill."""
+    import numpy as np
+
+    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.codes.generate import make_regular_code
+    from ldpc_decoder_tpu.runtime.datagen import create_data
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    code = make_regular_code(512, 3, 6, seed=6)
+    ch = BIAWGNChannel(0.55)
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=3))
+    dec.set_erased_variables(32)
+    assert dec.code.n_erased_vars == 32
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=1)
+    n = dec.parallel_factor()
+    batch = create_data(dec.code, ch, 0, n)  # erased tail -> channel value 0
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
