@@ -60,6 +60,15 @@ from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
 MAX_SEAM = 64  # max halo rows per side in seam mode (12.5% of a 1024 tile)
 
 
+def _tile_budget() -> int:
+    """Max d_max*tile*msg_bytes fitting the scoped-VMEM limit (measured on
+    v5e at the default 16 MiB limit; override together with
+    LDPC_VMEM_LIMIT_MB to trade VMEM for larger tiles/DMAs)."""
+    import os
+
+    return int(os.environ.get("LDPC_TILE_BUDGET", "12288"))
+
+
 # φ input clamp per message storage dtype: keeps φ(x) a *normal* value of
 # the storage type so the sign always survives (see ops/phi.py). fp8 e5m2
 # (min normal 6.1e-5) needs the reference's own infinity threshold of 10
@@ -176,8 +185,9 @@ class QCPallasTables:
         # VMEM budget (measured on v5e: the widest node's blocks fit iff
         # d_max*tile*msg_bytes <= 12288 with the shared staging scratch)
         d_max = max(d_c, d_v)
-        cand = 1024
-        while cand >= 256 and d_max * cand * msg_bytes > 12288:
+        budget = _tile_budget()
+        cand = 1024 * max(1, budget // 12288)
+        while cand >= 256 and d_max * cand * msg_bytes > budget:
             cand //= 2
         while cand >= 128:
             if Z % cand == 0:
@@ -198,7 +208,7 @@ class QCPallasTables:
         # pair mode fallback (arbitrary shifts)
         if tile is None:
             tile = 512
-        while Z % tile or max(d_c, d_v) * tile * msg_bytes > 12288:
+        while Z % tile or max(d_c, d_v) * tile * msg_bytes > _tile_budget():
             tile //= 2
         if tile < 32:
             raise ValueError(f"Z={Z} has no usable tile divisor (>=32)")
@@ -223,13 +233,37 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _compiler_params(n_grid_dims: int):
+    """Per-kernel Mosaic knobs, env-tunable for experiments.
+
+    LDPC_VMEM_LIMIT_MB raises the scoped-VMEM limit for THESE kernels only
+    (the supported per-payload route; the global LIBTPU flag is not usable
+    under a remote compiler). LDPC_DIM_PARALLEL=1 declares the grid dims
+    independent (they are: each step writes a distinct output block).
+    """
+    import os
+
+    kw = {}
+    mb = os.environ.get("LDPC_VMEM_LIMIT_MB")
+    if mb:
+        kw["vmem_limit_bytes"] = int(float(mb) * 1024 * 1024)
+    if os.environ.get("LDPC_DIM_PARALLEL"):
+        kw["dimension_semantics"] = ("parallel",) * n_grid_dims
+    return pltpu.CompilerParams(**kw) if kw else None
+
+
 LANE_BLOCK = 128  # frames per kernel block; keeps Mosaic's unaligned
 # dynamic sublane slicing happy and bounds VMEM for any batch width
 
 
 def _lane_block(B: int) -> int:
-    """128 lanes per block on real batches; small test batches use B."""
-    return LANE_BLOCK if B % LANE_BLOCK == 0 else B
+    """128 lanes per block on real batches; small test batches use B.
+    LDPC_LANE_BLOCK widens the per-block batch slice (bigger DMAs) —
+    needs LDPC_VMEM_LIMIT_MB raised proportionally."""
+    import os
+
+    lb = int(os.environ.get("LDPC_LANE_BLOCK", LANE_BLOCK))
+    return lb if B % lb == 0 else B
 
 
 def _rot_in_specs(d: int, tile: int, n_tiles: int, lb: int, seam: int):
@@ -421,6 +455,7 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
         out_shape=jax.ShapeDtypeStruct(
             (tables.R, tables.d_c, Z, B), msgs_v.dtype
         ),
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )(tables.cn_read, *([msgs_v] * (rps * tables.d_c)), syn3)
 
@@ -470,6 +505,7 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
                 phi_high=_phi_high(r_c.dtype)),
         grid_spec=grid_spec,
         out_shape=out_shape,
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )(tables.vn_read, *([r_c] * (rps * tables.d_v)), llr3)
     return out if emit_bits else (out[0], None)
@@ -630,6 +666,7 @@ def parity_pass(bits, syn, tables: QCPallasTables):
         partial(_parity_kernel, d_c=tables.d_c, tile=T, seam=seam),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tables.R, NT, 8, B), jnp.int8),
+        compiler_params=_compiler_params(3),
         interpret=_interpret(),
     )(tables.cn_read, *([bits] * (rps * tables.d_c)), syn)
     return jnp.any(viol[:, :, 0] > 0, axis=(0, 1))
