@@ -17,6 +17,12 @@ traffic; the iteration loop carries ``(msgs_v, r_c)`` and recycles both.
 Rotated reads use the same seam/pair window mechanics as the regular
 kernels (one aligned tile + halo blocks on seam-lattice codes, tile pairs
 otherwise); see ops/qc_pallas.py for the co-design discussion.
+
+Reference parity: the reference decoder supports arbitrary irregular codes
+by walking per-node CSR degree offsets inside one kernel (flood.cu:117-158,
+flood_vec2.cl:236-295, offsets built in ldpc_code.cpp:119-151). On TPU that
+data-dependent walk defeats static tiling, so irregularity is compiled out
+instead: same math, degree-specialized kernels.
 """
 
 from __future__ import annotations
