@@ -155,6 +155,23 @@ def bsc_values_device(
     return jnp.where(flips, -tx, tx)
 
 
+@partial(jax.jit, static_argnames=("n_vars", "n_frames", "epsilon"))
+def erasure_values_device(
+    ref_bits: jnp.ndarray,  # [n_vars, n_frames] int8
+    start_index: jnp.ndarray,
+    n_vars: int,
+    n_frames: int,
+    epsilon: float,
+) -> jnp.ndarray:
+    """BEC channel values: 0 = erased, else ±1. Same one-unit-per-bit draw
+    pattern as the BSC (channels/erasure.py add_noise_np)."""
+    seeds = _noise_seeds(start_index, n_frames)
+    words = stream_words_2d(seeds, n_vars)
+    erased = units_from_words(words).T < jnp.float32(epsilon)
+    tx = jnp.where(ref_bits > 0, 1.0, -1.0).astype(jnp.float32)
+    return jnp.where(erased, 0.0, tx)
+
+
 @partial(jax.jit, static_argnames=("n_vars", "n_frames", "sigma"))
 def awgn_values_device(
     ref_bits: jnp.ndarray,

@@ -68,6 +68,10 @@ def _make_pool(
         values = cj.awgn_values_device(
             ref_bits, start_index, n_vars, n_frames, noise
         )
+    elif channel_type == "erasure":
+        values = cj.erasure_values_device(
+            ref_bits, start_index, n_vars, n_frames, noise
+        )
     else:
         raise ValueError(channel_type)
     if n_erased:
@@ -122,6 +126,8 @@ def create_pool_device(
         ctype, noise = "bsc", channel.p
     elif isinstance(channel, BIAWGNChannel):
         ctype, noise = "awgn", channel.sigma
+    elif getattr(channel, "channel_type", None) == "erasure":
+        ctype, noise = "erasure", channel.epsilon
     else:
         raise ValueError(f"unsupported channel {channel!r}")
     base = start_index + batch_index * n_frames

@@ -84,6 +84,23 @@ def test_device_pool_matches_cpu_datagen_bsc():
     )
 
 
+def test_device_pool_matches_cpu_datagen_erasure():
+    from ldpc_decoder_tpu.channels import ErasureChannel
+
+    code = make_regular_code(512, 3, 6, seed=3)
+    cc = compile_code(code)
+    tables = DecodeTables.from_compiled(cc)
+    ch = ErasureChannel(0.3)
+    pool = create_pool_device(cc, tables, ch, start_index=5, n_frames=32)
+    batch = create_data(code, ch, 5, 32)
+    np.testing.assert_array_equal(
+        np.asarray(pool.values_sorted), batch.values[np.asarray(cc.vn_order)]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pool.syn_sorted), batch.syndromes[np.asarray(cc.cn_order)]
+    )
+
+
 def test_count_bit_errors():
     ref = jnp.asarray(np.array([[0b1011, 0], [0, 0]], dtype=np.uint32))
     res = jnp.asarray(np.array([[0b1000, 0], [0, 1 << 31]], dtype=np.uint32))
