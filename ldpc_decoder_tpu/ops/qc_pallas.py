@@ -15,9 +15,10 @@ Rotated reads come in two flavours, chosen per code:
   every circulant shift to ``s ≡ b (mod tile)`` with ``|b| < seam`` (signed),
   see :func:`codes.qc.make_qc_structure`'s granularity parameters. A rotated
   T-row window then overlaps one aligned tile plus at most ``seam`` rows of
-  each neighbour, so the kernel fetches one T-row tile and two seam-row halo
-  blocks per slot (≈3% extra HBM traffic) instead of a full tile pair (100%
-  extra). This is hardware/code co-design: the shift lattice is chosen for
+  ONE neighbour (which side follows the fine shift's sign, resolved inside
+  the scalar-prefetch index maps), so the kernel fetches one T-row tile and
+  a single seam-row halo block per slot (≈3% extra HBM traffic, 2 DMA
+  streams) instead of a full tile pair (100% extra). This is hardware/code co-design: the shift lattice is chosen for
   the TPU memory system, and the fine ±b components still break graph
   symmetry (any short cycle needs its fine parts to cancel *exactly*, since
   coarse parts are multiples of the tile — so the restriction also acts as a
@@ -277,24 +278,25 @@ def _rot_in_specs(d: int, tile: int, n_tiles: int, lb: int, seam: int):
     n_halo = tile // seam if seam else 0
     for k in range(d):
         if seam:
-            def prev_map(i, j, l, tab, _k=k):
-                m = (tab[i, _k, 2] + j - 1) % n_tiles
-                return (tab[i, _k, 0], tab[i, _k, 1],
-                        m * n_halo + (n_halo - 1), l)
-
             def main_map(i, j, l, tab, _k=k):
                 return (tab[i, _k, 0], tab[i, _k, 1],
                         (tab[i, _k, 2] + j) % n_tiles, l)
 
-            def next_map(i, j, l, tab, _k=k):
-                m = (tab[i, _k, 2] + j + 1) % n_tiles
-                return (tab[i, _k, 0], tab[i, _k, 1], m * n_halo, l)
+            def halo_map(i, j, l, tab, _k=k):
+                # the window [fine, fine+tile) (fine = tab[...,3] - seam,
+                # signed) spills into exactly ONE neighbour: the next
+                # tile's first seam rows when fine >= 0, the previous
+                # tile's last seam rows otherwise — pick the block here so
+                # only that one is fetched (2 DMA streams per slot, not 3)
+                is_next = tab[i, _k, 3] >= seam
+                m = (tab[i, _k, 2] + j
+                     + jnp.where(is_next, 1, n_tiles - 1)) % n_tiles
+                blk = m * n_halo + jnp.where(is_next, 0, n_halo - 1)
+                return (tab[i, _k, 0], tab[i, _k, 1], blk, l)
 
-            specs.append(pl.BlockSpec((1, 1, seam, lb), prev_map,
-                                      memory_space=pltpu.VMEM))
             specs.append(pl.BlockSpec((1, 1, tile, lb), main_map,
                                       memory_space=pltpu.VMEM))
-            specs.append(pl.BlockSpec((1, 1, seam, lb), next_map,
+            specs.append(pl.BlockSpec((1, 1, seam, lb), halo_map,
                                       memory_space=pltpu.VMEM))
         else:
             for which in (0, 1):
@@ -310,7 +312,7 @@ def _rot_in_specs(d: int, tile: int, n_tiles: int, lb: int, seam: int):
 
 
 def _refs_per_slot(seam: int) -> int:
-    return 3 if seam else 2
+    return 2
 
 
 def _window(refs, k: int, tab_ref, i, tile: int, seam: int, pair_scratch):
@@ -322,12 +324,13 @@ def _window(refs, k: int, tab_ref, i, tile: int, seam: int, pair_scratch):
     (bf16), and the upcast is needed for compute anyway.
     """
     if seam:
-        prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
-        pair_scratch[0:seam] = prev[0, 0].astype(jnp.float32)
+        main, halo = refs[2 * k], refs[2 * k + 1]
         pair_scratch[seam : seam + tile] = main[0, 0].astype(jnp.float32)
-        pair_scratch[seam + tile : 2 * seam + tile] = (
-            nxt[0, 0].astype(jnp.float32)
-        )
+        # the fetched halo block (see halo_map) goes before or after the
+        # main tile depending on the window's sign; the slice below never
+        # touches the other side, so its stale contents are harmless
+        pos = jnp.where(tab_ref[i, k, 3] >= seam, seam + tile, 0)
+        pair_scratch[pl.ds(pos, seam), :] = halo[0, 0].astype(jnp.float32)
     else:
         pair_scratch[0:tile] = refs[2 * k][0, 0].astype(jnp.float32)
         pair_scratch[tile : 2 * tile] = (
@@ -593,10 +596,10 @@ def _parity_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int):
     acc = syn_ref[0].astype(jnp.int32)
     for k in range(d_c):
         if seam:
-            prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
-            scratch[0:seam] = prev[0].astype(jnp.int32)
+            main, halo = refs[2 * k], refs[2 * k + 1]
             scratch[seam : seam + tile] = main[0].astype(jnp.int32)
-            scratch[seam + tile : 2 * seam + tile] = nxt[0].astype(jnp.int32)
+            pos = jnp.where(tab_ref[i, k, 3] >= seam, seam + tile, 0)
+            scratch[pl.ds(pos, seam), :] = halo[0].astype(jnp.int32)
         else:
             scratch[0:tile] = refs[2 * k][0].astype(jnp.int32)
             scratch[tile : 2 * tile] = refs[2 * k + 1][0].astype(jnp.int32)
@@ -623,22 +626,19 @@ def parity_pass(bits, syn, tables: QCPallasTables):
     specs = []
     for k in range(tables.d_c):
         if seam:
-            def prev_map(i, j, l, tab, _k=k):
-                m = (tab[i, _k, 2] + j - 1) % NT
-                return (tab[i, _k, 0], m * n_halo + (n_halo - 1), l)
-
             def main_map(i, j, l, tab, _k=k):
                 return (tab[i, _k, 0], (tab[i, _k, 2] + j) % NT, l)
 
-            def next_map(i, j, l, tab, _k=k):
-                m = (tab[i, _k, 2] + j + 1) % NT
-                return (tab[i, _k, 0], m * n_halo, l)
+            def halo_map(i, j, l, tab, _k=k):
+                is_next = tab[i, _k, 3] >= seam
+                m = (tab[i, _k, 2] + j
+                     + jnp.where(is_next, 1, NT - 1)) % NT
+                return (tab[i, _k, 0],
+                        m * n_halo + jnp.where(is_next, 0, n_halo - 1), l)
 
-            specs.append(pl.BlockSpec((1, seam, lb), prev_map,
-                                      memory_space=pltpu.VMEM))
             specs.append(pl.BlockSpec((1, T, lb), main_map,
                                       memory_space=pltpu.VMEM))
-            specs.append(pl.BlockSpec((1, seam, lb), next_map,
+            specs.append(pl.BlockSpec((1, seam, lb), halo_map,
                                       memory_space=pltpu.VMEM))
         else:
             for which in (0, 1):
