@@ -202,25 +202,22 @@ def _rot_specs_flat(d: int, tile: int, n_tiles: int, lb: int, seam: int,
     n_halo = tile // seam if seam else 0
     for k in range(d):
         if seam:
-            def prev_map(i, j, l, tab, _k=k):
-                e = block_start + i * d + _k
-                m = (tab[e, 2] + j - 1) % n_tiles
-                return (tab[e, 0], m * n_halo + (n_halo - 1), l)
-
             def main_map(i, j, l, tab, _k=k):
                 e = block_start + i * d + _k
                 return (tab[e, 0], (tab[e, 2] + j) % n_tiles, l)
 
-            def next_map(i, j, l, tab, _k=k):
+            def halo_map(i, j, l, tab, _k=k):
+                # single sign-selected halo, as in qc_pallas._rot_in_specs
                 e = block_start + i * d + _k
-                m = (tab[e, 2] + j + 1) % n_tiles
-                return (tab[e, 0], m * n_halo, l)
+                is_next = tab[e, 3] >= seam
+                m = (tab[e, 2] + j
+                     + jnp.where(is_next, 1, n_tiles - 1)) % n_tiles
+                return (tab[e, 0],
+                        m * n_halo + jnp.where(is_next, 0, n_halo - 1), l)
 
-            specs.append(pl.BlockSpec((1, seam, lb), prev_map,
-                                      memory_space=pltpu.VMEM))
             specs.append(pl.BlockSpec((1, tile, lb), main_map,
                                       memory_space=pltpu.VMEM))
-            specs.append(pl.BlockSpec((1, seam, lb), next_map,
+            specs.append(pl.BlockSpec((1, seam, lb), halo_map,
                                       memory_space=pltpu.VMEM))
         else:
             for which in (0, 1):
@@ -234,7 +231,7 @@ def _rot_specs_flat(d: int, tile: int, n_tiles: int, lb: int, seam: int,
 
 
 def _rps(seam: int) -> int:
-    return 3 if seam else 2
+    return 2
 
 
 def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
@@ -246,11 +243,12 @@ def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
     is a WAR hazard once Mosaic defers the dynamic-offset loads (observed
     as slow state corruption on v5e with bf16 inputs)."""
     if seam:
-        prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
-        scratch[k, 0:seam, :] = prev[0].astype(jnp.float32)
+        main, halo = refs[2 * k], refs[2 * k + 1]
         scratch[k, seam : seam + tile, :] = main[0].astype(jnp.float32)
-        scratch[k, seam + tile : 2 * seam + tile, :] = (
-            nxt[0].astype(jnp.float32))
+        # sign-selected halo staged at the matching end (qc_pallas._window)
+        pos = jnp.where(tab_ref[e_base + i * d + k, 3] >= seam,
+                        seam + tile, 0)
+        scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.float32)
     else:
         scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.float32)
         scratch[k, tile : 2 * tile, :] = refs[2 * k + 1][0].astype(jnp.float32)
@@ -338,11 +336,11 @@ def _parity_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
     acc = syn_ref[0].astype(jnp.int32)
     for k in range(d):
         if seam:
-            prev, main, nxt = refs[3 * k], refs[3 * k + 1], refs[3 * k + 2]
-            scratch[k, 0:seam, :] = prev[0].astype(jnp.int32)
+            main, halo = refs[2 * k], refs[2 * k + 1]
             scratch[k, seam : seam + tile, :] = main[0].astype(jnp.int32)
-            scratch[k, seam + tile : 2 * seam + tile, :] = (
-                nxt[0].astype(jnp.int32))
+            pos = jnp.where(tab_ref[block_start + i * d + k, 3] >= seam,
+                            seam + tile, 0)
+            scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.int32)
         else:
             scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.int32)
             scratch[k, tile : 2 * tile, :] = refs[2 * k + 1][0].astype(
