@@ -168,6 +168,177 @@ def _count_6cycles(structure: QCStructure) -> int:
     return count
 
 
+def _cycle_patterns(base01: np.ndarray):
+    """Enumerate the base-graph 4- and 6-cycle patterns of a 0/1 base.
+
+    Returns ``(edge_id, p4, p6)``: ``edge_id[r, c]`` maps cells to edge
+    indices in row-major (np.nonzero) order; ``p4 [n4, 4]`` / ``p6 [n6, 6]``
+    hold the edge indices of each pattern in alternating-sign walk order, so
+    a pattern's lifted cycles close iff the alternating sum of its shifts is
+    0 mod Z (the classic Fossorier condition, generalized to 6-cycles).
+
+    Patterns are *geometric* base cycles; each contributes Z lifted cycles
+    when its shift condition closes. Used by :func:`make_qc_structure_repair`
+    for incremental girth repair (recount only patterns touching a resampled
+    edge) — the full recount in _count_6cycles is O((RC)^3) and too slow to
+    sit in a repair loop for pre-lifted bases (e.g. 32x56).
+    """
+    base01 = np.asarray(base01)
+    R, C = base01.shape
+    if (base01 > 1).any():
+        raise ValueError("_cycle_patterns supports 0/1 bases only")
+    edge_id = np.full((R, C), -1, dtype=np.int64)
+    rows, cols = np.nonzero(base01)
+    edge_id[rows, cols] = np.arange(rows.shape[0])
+    nbr = [np.nonzero(base01[r])[0] for r in range(R)]
+
+    p4 = []
+    for r1 in range(R):
+        for r2 in range(r1 + 1, R):
+            shared = np.intersect1d(nbr[r1], nbr[r2], assume_unique=True)
+            for i in range(len(shared)):
+                for j in range(i + 1, len(shared)):
+                    c1, c2 = shared[i], shared[j]
+                    p4.append((edge_id[r1, c1], edge_id[r2, c1],
+                               edge_id[r2, c2], edge_id[r1, c2]))
+
+    p6 = []
+    for r1 in range(R):
+        for r2 in range(r1 + 1, R):
+            s12 = np.intersect1d(nbr[r1], nbr[r2], assume_unique=True)
+            if not len(s12):
+                continue
+            for r3 in range(r2 + 1, R):
+                # cycle r1-c1-r2-c2-r3-c3-r1 with r1 < r2 < r3: any cyclic
+                # order of 3 rows uses the same three row-pair slots, and
+                # reversal (the only other traversal) negates the shift sum
+                # — so this enumerates each geometric 6-cycle exactly once.
+                s23 = np.intersect1d(nbr[r2], nbr[r3], assume_unique=True)
+                s31 = np.intersect1d(nbr[r3], nbr[r1], assume_unique=True)
+                if not len(s23) or not len(s31):
+                    continue
+                c1g, c2g, c3g = np.meshgrid(s12, s23, s31, indexing="ij")
+                ok = (c1g != c2g) & (c2g != c3g) & (c1g != c3g)
+                for c1, c2, c3 in zip(c1g[ok], c2g[ok], c3g[ok]):
+                    p6.append((edge_id[r1, c1], edge_id[r2, c1],
+                               edge_id[r2, c2], edge_id[r3, c2],
+                               edge_id[r3, c3], edge_id[r1, c3]))
+    return (
+        edge_id,
+        np.array(p4, dtype=np.int64).reshape(-1, 4),
+        np.array(p6, dtype=np.int64).reshape(-1, 6),
+    )
+
+
+_COEF4 = np.array([1, -1, 1, -1], dtype=np.int64)
+_COEF6 = np.array([1, -1, 1, -1, 1, -1], dtype=np.int64)
+
+
+def make_qc_structure_repair(
+    base: np.ndarray, Z: int, seed: int = 0,
+    coarse: int | None = None, fine_mod: int = 4,
+    weight4: int = 10_000, max_moves: int = 40_000,
+) -> QCStructure:
+    """Girth-8 lift via targeted shift repair (CCSDS 131.1-style goal).
+
+    Pure rejection (make_qc_structure) needs the *expected* number of closed
+    6-cycle patterns below ~1, which fails for dense pre-lifted bases (a
+    32x56 AR4JA pre-lift has ~1e5 base patterns; Poisson(15+) never hits 0).
+    Repair instead: sample lattice shifts, then iteratively resample the
+    edge involved in the most closed patterns, choosing the candidate shift
+    that minimizes its closures (4-cycles weighted ``weight4``). Each move
+    only re-evaluates the patterns touching one edge, so moves are cheap.
+
+    Raises RuntimeError if violations cannot be driven to zero.
+    """
+    base = np.asarray(base)
+    rng = np.random.default_rng(seed)
+    edge_id, p4, p6 = _cycle_patterns(base)
+    rows, cols = np.nonzero(base)
+    nE = rows.shape[0]
+    if coarse is not None:
+        if Z % coarse:
+            raise ValueError(f"Z={Z} not divisible by coarse={coarse}")
+        if not 1 <= fine_mod <= coarse // 2:
+            raise ValueError("fine_mod must be in [1, coarse/2]")
+
+    def sample(n):
+        if coarse is None:
+            return rng.integers(0, Z, size=n).astype(np.int64)
+        a = rng.integers(0, Z // coarse, size=n)
+        b = rng.integers(-(fine_mod - 1), fine_mod, size=n)
+        return ((a * coarse + b) % Z).astype(np.int64)
+
+    # pattern -> edges bookkeeping
+    pats = [(p4, _COEF4, weight4), (p6, _COEF6, 1)]
+    edge_pats = [[] for _ in range(nE)]  # (pat_set, pat_row, pos)
+    for si, (P, _, _) in enumerate(pats):
+        for pi in range(P.shape[0]):
+            for pos in range(P.shape[1]):
+                edge_pats[P[pi, pos]].append((si, pi, pos))
+
+    s = sample(nE)
+
+    def closed_mask(P, coef):
+        if P.shape[0] == 0:
+            return np.zeros(0, dtype=bool)
+        return (s[P] * coef).sum(axis=1) % Z == 0
+
+    masks = [closed_mask(P, c) for P, c, _ in pats]
+
+    def edge_scores():
+        sc = np.zeros(nE, dtype=np.int64)
+        for (P, _, w), m in zip(pats, masks):
+            if m.any():
+                np.add.at(sc, P[m].reshape(-1), w)
+        return sc
+
+    for move in range(max_moves):
+        total = sum(int(m.sum()) for m in masks)
+        if total == 0:
+            return QCStructure(
+                Z=Z, n_base_rows=base.shape[0], n_base_cols=base.shape[1],
+                edge_row=rows.astype(np.int32), edge_col=cols.astype(np.int32),
+                edge_shift=s.astype(np.int32),
+            )
+        sc = edge_scores()
+        # random pick among the worst few edges (breaks repair cycles)
+        top = np.argsort(-sc)[:4]
+        e = int(rng.choice(top[sc[top] > 0]))
+        cands = np.unique(sample(96))
+        # evaluate only the patterns touching e, per candidate
+        entries = edge_pats[e]
+        best_c, best_v = None, None
+        # partial sums excluding e's own term, per touching pattern
+        part = []
+        for si, pi, pos in entries:
+            P, coef, w = pats[si]
+            tot = int((s[P[pi]] * coef).sum() - s[e] * coef[pos])
+            part.append((tot, int(coef[pos]), w))
+        part = np.array(part, dtype=np.int64).reshape(-1, 3)
+        v = (
+            ((part[:, 0][None, :] + cands[:, None] * part[:, 1][None, :])
+             % Z == 0) * part[:, 2][None, :]
+        ).sum(axis=1)
+        j = int(np.argmin(v + rng.random(v.shape[0]) * 0.5))
+        best_c, best_v = int(cands[j]), int(v[j])
+        cur_v = sum(
+            w * int((s[pats[si][0][pi]] * pats[si][1]).sum() % Z == 0)
+            for si, pi, pos in entries
+            for w in (pats[si][2],)
+        )
+        if best_v <= cur_v:
+            s[e] = best_c
+            # update masks for touched patterns
+            for si, pi, pos in entries:
+                P, coef, _ = pats[si]
+                masks[si][pi] = (s[P[pi]] * coef).sum() % Z == 0
+    raise RuntimeError(
+        f"girth repair did not converge in {max_moves} moves "
+        f"(residual violations: {[int(m.sum()) for m in masks]})"
+    )
+
+
 def make_qc_structure(
     base: np.ndarray, Z: int, seed: int = 0, max_tries: int = 200,
     coarse: int | None = None, fine_mod: int = 4, min_girth: int = 6,

@@ -130,10 +130,12 @@ def compute_syndrome_words(offsets: np.ndarray, indices: np.ndarray,
 
 def deinterlace_words(words: np.ndarray) -> np.ndarray:
     """Frame-interleaved [n_words, n_groups] -> per-frame packed
-    [n_groups*32, n_words] uint32 (deinterlace, main.cpp:273-299)."""
+    [n_groups*32, ceil(n_words/32)] uint32 (deinterlace,
+    main.cpp:273-299): each frame's n_words bits pack 32 per word."""
     lib = _load()
     n_words, n_groups = words.shape
-    out = np.empty((n_groups * 32, n_words), dtype=np.uint32)
+    n_out_words = (n_words + 31) // 32
+    out = np.empty((n_groups * 32, n_out_words), dtype=np.uint32)
     lib.ldpc_deinterlace_words(
         np.ascontiguousarray(words).reshape(-1), n_words, n_groups,
         out.reshape(-1))

@@ -264,6 +264,7 @@ void ldpc_deinterlace_words(const uint32_t* in, int64_t n_words,
                             int64_t n_groups, uint32_t* out) {
   int64_t n_tiles = n_words / 32;
   int64_t rem = n_words % 32;
+  int64_t n_out_words = n_tiles + (rem ? 1 : 0);  // out row stride
 #ifdef _OPENMP
 #pragma omp parallel for collapse(2) schedule(static)
 #endif
@@ -277,7 +278,7 @@ void ldpc_deinterlace_words(const uint32_t* in, int64_t n_words,
       transpose32(tile, tout);
       // tout[f] = word whose bit i = bit f of input word i
       for (int64_t f = 0; f < 32; ++f)
-        out[(g * 32 + f) * n_words + t] = tout[f];
+        out[(g * 32 + f) * n_out_words + t] = tout[f];
     }
   }
 }

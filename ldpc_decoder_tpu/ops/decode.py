@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldpc_decoder_tpu.codes.compiled import CompiledCode, DegreeBucket
-from ldpc_decoder_tpu.ops.phi import phi_abs
+from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, phi_abs
 
 
 @partial(
@@ -101,6 +101,7 @@ def cn_update(
     msgs_c: jnp.ndarray,  # [E, B] φ-domain VN→CN messages, cn-edge order
     syn: jnp.ndarray,  # [n_checks, B] int8/bool syndrome bits, sorted order
     tables: DecodeTables,
+    phi_pre: float = PRE_THRESHOLD,
 ) -> jnp.ndarray:
     """Check-node (flood_backward) pass: returns CN→VN messages r_c [E, B].
 
@@ -119,7 +120,7 @@ def cn_update(
         pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=1, keepdims=True)
         s = syn_i[b.row_start : b.row_start + b.count][:, None, :]
         parity = (s + pos_votes) & 1  # [count, 1, B]
-        res = phi_abs(ext - a)
+        res = phi_abs(ext - a, phi_pre)
         is_neg = (neg.astype(jnp.int32) ^ parity) == 1
         r = jnp.where(is_neg, -res, res)
         # keep the big intermediate in the message dtype: halves the HBM
@@ -177,9 +178,10 @@ def bp_iteration(
     llr: jnp.ndarray,
     syn: jnp.ndarray,
     tables: DecodeTables,
+    phi_pre: float = PRE_THRESHOLD,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One full flood iteration. Returns (new msgs_c, totals)."""
-    r_c = cn_update(msgs_c, syn, tables)
+    r_c = cn_update(msgs_c, syn, tables, phi_pre)
     r_v = jnp.take(r_c, tables.perm_c2v, axis=0)
     totals = vn_totals(r_v, llr, tables)
     # gather totals in the message dtype (halves gather bytes); the
@@ -188,16 +190,17 @@ def bp_iteration(
         totals.astype(msgs_c.dtype), tables.cn_edge_vnrow, axis=0
     )  # [E, B]
     pre = t_edge.astype(jnp.float32) - r_c.astype(jnp.float32)
-    new = jnp.copysign(phi_abs(jnp.abs(pre)), pre)
+    new = jnp.copysign(phi_abs(jnp.abs(pre), phi_pre), pre)
     return new.astype(msgs_c.dtype), totals
 
 
 def init_messages(
-    llr: jnp.ndarray, tables: DecodeTables, dtype=jnp.float32
+    llr: jnp.ndarray, tables: DecodeTables, dtype=jnp.float32,
+    phi_pre: float = PRE_THRESHOLD,
 ) -> jnp.ndarray:
     """Fresh-frame message init: every edge of a variable gets φ(llr)
     (flood_refill, flood.cu:297-323). [E, B]."""
-    p = jnp.copysign(phi_abs(jnp.abs(llr)), llr)
+    p = jnp.copysign(phi_abs(jnp.abs(llr), phi_pre), llr)
     return jnp.take(p, tables.cn_edge_vnrow, axis=0).astype(dtype)
 
 
@@ -206,13 +209,14 @@ def hard_bits(totals: jnp.ndarray) -> jnp.ndarray:
     return (~jnp.signbit(totals)).astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "phi_pre"))
 def run_iterations(
     msgs_c: jnp.ndarray,
     llr: jnp.ndarray,
     syn: jnp.ndarray,
     tables: DecodeTables,
     k: int,
+    phi_pre: float = PRE_THRESHOLD,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k flood iterations then a parity check.
 
@@ -223,7 +227,7 @@ def run_iterations(
 
     def body(_, carry):
         msgs, _ = carry
-        return bp_iteration(msgs, llr, syn, tables)
+        return bp_iteration(msgs, llr, syn, tables, phi_pre)
 
     totals0 = jnp.zeros((tables.n_vars, llr.shape[-1]), jnp.float32)
     msgs_c, totals = jax.lax.fori_loop(0, k, body, (msgs_c, totals0))

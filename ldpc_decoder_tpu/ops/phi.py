@@ -28,7 +28,24 @@ TAYLOR_LIMIT = 5.0  # flood.cu:32
 HIGH_THRESHOLD = 80.0
 
 
-def phi_abs(x: jnp.ndarray) -> jnp.ndarray:
+def pre_from_infinity_threshold(t: float | None) -> float:
+    """φ-input floor realizing a runtime infinity threshold t.
+
+    The reference's OpenCL backend derives its pre_threshold from the
+    dynamic ``-∞ threshold`` parameter as φ(t) ≈ 2e^{-t} (flood_vec2.cl:187,
+    ldpc_decoder_gpu_common.h:27-30) — flooring φ's input at φ(t) caps the
+    output (message magnitude) at t, since φ is self-inverse. The CUDA
+    backend ignores the knob and hard-codes 1e-5 (≈ cap 12.2, flood.cu:14);
+    ``None`` selects that default.
+    """
+    import math
+
+    if t is None:
+        return PRE_THRESHOLD
+    return 2.0 * math.exp(-float(t))
+
+
+def phi_abs(x: jnp.ndarray, pre: float = PRE_THRESHOLD) -> jnp.ndarray:
     """φ_abs = -log(tanh(x/2)) for x >= 0, fp32, reference-clamped.
 
     NB: an exp+log reformulation (log((1+e^-x)/(1-e^-x))) was measured
@@ -36,25 +53,24 @@ def phi_abs(x: jnp.ndarray) -> jnp.ndarray:
     transcendental — so the direct tanh form stays.
     """
     x32 = x.astype(jnp.float32)
-    xm = jnp.clip(x32, jnp.float32(PRE_THRESHOLD),
-                  jnp.float32(HIGH_THRESHOLD))
+    xm = jnp.clip(x32, jnp.float32(pre), jnp.float32(HIGH_THRESHOLD))
     main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
 
-def phi(x: jnp.ndarray) -> jnp.ndarray:
+def phi(x: jnp.ndarray, pre: float = PRE_THRESHOLD) -> jnp.ndarray:
     """Signed φ: phi_abs(|x|) with the sign of x (flood.cu:40-45).
 
     Preserves the sign of ±0 like the reference's bit-twiddled copysign.
     """
-    return jnp.copysign(phi_abs(jnp.abs(x)), x.astype(jnp.float32))
+    return jnp.copysign(phi_abs(jnp.abs(x), pre), x.astype(jnp.float32))
 
 
-def phi_abs_np(x):
+def phi_abs_np(x, pre: float = PRE_THRESHOLD):
     """Numpy reference implementation (for tests)."""
     import numpy as np
 
     x = np.asarray(x, dtype=np.float64)
-    xm = np.clip(x, PRE_THRESHOLD, HIGH_THRESHOLD)
+    xm = np.clip(x, pre, HIGH_THRESHOLD)
     main = -np.log(np.tanh(xm * 0.5))
     return np.where(xm > TAYLOR_LIMIT, 2.0 * np.exp(-xm), main)

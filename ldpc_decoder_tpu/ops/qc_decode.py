@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldpc_decoder_tpu.codes.qc import QCStructure
-from ldpc_decoder_tpu.ops.phi import phi_abs
+from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, phi_abs
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,6 +177,7 @@ def cn_update_qc(
     msgs: jnp.ndarray,  # [nb, Z, B] φ-domain messages, check order
     syn: jnp.ndarray,  # [R, Z, B] int8, sorted row order
     tables: QCDecodeTables,
+    phi_pre: float = PRE_THRESHOLD,
 ) -> jnp.ndarray:
     out = []
     syn_i = syn.astype(jnp.int32)
@@ -193,7 +194,7 @@ def cn_update_qc(
         pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=1, keepdims=True)
         sblk = syn_i[row : row + g.count][:, None]
         parity = (sblk + pos_votes) & 1
-        res = phi_abs(ext - a)
+        res = phi_abs(ext - a, phi_pre)
         is_neg = (neg.astype(jnp.int32) ^ parity) == 1
         r = jnp.where(is_neg, -res, res).astype(msgs.dtype)
         out.append(r.reshape(nbk, tables.Z, -1))
@@ -205,6 +206,7 @@ def vn_update_qc(
     r_v: jnp.ndarray,  # [nb, Z, B] variable-order CN->VN messages
     llr: jnp.ndarray,  # [C, Z, B] sorted col order
     tables: QCDecodeTables,
+    phi_pre: float = PRE_THRESHOLD,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (new variable-order messages [nb, Z, B], totals [C, Z, B])."""
     msgs_out, totals_out = [], []
@@ -217,7 +219,7 @@ def vn_update_qc(
         ).astype(jnp.float32)
         totals = llr[col : col + g.count] + jnp.sum(r, axis=1)
         pre = totals[:, None] - r
-        m = jnp.copysign(phi_abs(jnp.abs(pre)), pre).astype(r_v.dtype)
+        m = jnp.copysign(phi_abs(jnp.abs(pre), phi_pre), pre).astype(r_v.dtype)
         msgs_out.append(m.reshape(nbk, tables.Z, -1))
         totals_out.append(totals)
         col += g.count
@@ -297,6 +299,12 @@ def cn_update_qc_minsum(
         k_idx = jnp.arange(g.degree)[None, :, None, None]
         a_excl = jnp.where(k_idx == pos, jnp.inf, a)
         min2 = jnp.min(a_excl, axis=1, keepdims=True)
+        if g.degree == 1:
+            # sole edge: the leave-one-out set is empty; mirror the grouped
+            # kernel's d==1 special case (qc_pallas_grouped._cn_kernel_g)
+            # so oracle and kernel stay bit-identical (inf would NaN the
+            # VN pass via inf - inf)
+            min2 = jnp.zeros_like(min2)
         other = jnp.where(k_idx == pos, min2, min1)
         res = jnp.maximum(other - jnp.float32(beta), 0.0)
         pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=1, keepdims=True)
@@ -336,20 +344,21 @@ def vn_update_qc_minsum(
 
 
 def bp_iteration_qc(msgs, llr, syn, tables, alg="sum-product", beta=0.0,
-                    clamp=64.0):
+                    clamp=64.0, phi_pre=PRE_THRESHOLD):
     """One flood iteration in QC layout. msgs check-order [nb, Z, B]."""
     if alg == "min-sum":
         r_c = cn_update_qc_minsum(msgs, syn, tables, beta)
         r_v = cn_to_vn(r_c, tables)
         m_v, totals = vn_update_qc_minsum(r_v, llr, tables, clamp)
     else:
-        r_c = cn_update_qc(msgs, syn, tables)
+        r_c = cn_update_qc(msgs, syn, tables, phi_pre)
         r_v = cn_to_vn(r_c, tables)
-        m_v, totals = vn_update_qc(r_v, llr, tables)
+        m_v, totals = vn_update_qc(r_v, llr, tables, phi_pre)
     return vn_to_cn(m_v, tables), totals
 
 
-def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product"):
+def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product",
+                     phi_pre=PRE_THRESHOLD):
     """[E, B] fresh messages, rotated into check order (flood_refill
     analog): φ(llr) for sum-product, llr itself for min-sum."""
     Z = tables.Z
@@ -357,16 +366,16 @@ def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product"):
     if alg == "min-sum":
         p = llr.astype(dtype)
     else:
-        p = jnp.copysign(phi_abs(jnp.abs(llr)), llr).astype(dtype)
+        p = jnp.copysign(phi_abs(jnp.abs(llr), phi_pre), llr).astype(dtype)
     blocks = jnp.take(p, tables.cn_col_of_block, axis=0)
     m_c = _roll_blocks(blocks, -tables.cn_shift)
     return m_c.reshape(tables.n_edges, -1)
 
 
-@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp"))
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
 def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
                       alg: str = "sum-product", beta: float = 0.0,
-                      clamp: float = 64.0):
+                      clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD):
     """2-D-interface twin of ops.decode.run_iterations."""
     B = msgs2d.shape[-1]
     Z = tables.Z
@@ -376,7 +385,8 @@ def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
 
     def body(_, carry):
         m, _ = carry
-        return bp_iteration_qc(m, llr, syn, tables, alg, beta, clamp)
+        return bp_iteration_qc(m, llr, syn, tables, alg, beta, clamp,
+                               phi_pre)
 
     totals0 = jnp.zeros_like(llr)
     msgs, totals = jax.lax.fori_loop(0, k, body, (msgs, totals0))

@@ -81,10 +81,12 @@ def _phi_high(dtype) -> float:
     return PHI_HIGH_BY_DTYPE.get(jnp.dtype(dtype).name, HIGH_THRESHOLD)
 
 
-def _phi_abs_f32(x, high: float = HIGH_THRESHOLD):
+def _phi_abs_f32(x, high: float = HIGH_THRESHOLD,
+                 pre: float = PRE_THRESHOLD):
     # same formula as ops/phi.py phi_abs (kept in lockstep so the
-    # XLA-oracle equality tests stay exact)
-    xm = jnp.clip(x, jnp.float32(PRE_THRESHOLD), jnp.float32(high))
+    # XLA-oracle equality tests stay exact); ``pre`` realizes the runtime
+    # infinity threshold (phi.pre_from_infinity_threshold)
+    xm = jnp.clip(x, jnp.float32(pre), jnp.float32(high))
     main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
@@ -162,15 +164,19 @@ class QCPallasTables:
         s_vn = (-cn_shift[cn_of_vn].reshape(C, d_v)) % Z  # VN reads -s
 
         # seam mode: the largest tile dividing Z for which every shift's
-        # signed fine part fits within MAX_SEAM halo rows (rounded up to
-        # the 8-row f32 sublane granule)
+        # signed fine part fits within MAX_SEAM halo rows. The halo
+        # BlockSpecs address halo blocks as tile//seam sub-blocks per tile,
+        # so seam MUST divide the tile exactly — round it up to a power of
+        # two (>= the 8-row f32 sublane granule) and check divisibility.
         def seam_tables(T):
             NT = Z // T
             b_cn = _signed_fine(s_cn, T)
             b_vn = _signed_fine(s_vn, T)
             b_max = int(max(np.abs(b_cn).max(), np.abs(b_vn).max()))
-            seam = max(8, -(-(b_max + 1) // 8) * 8)
-            if seam > MAX_SEAM or seam > T // 8:
+            seam = 8
+            while seam < b_max + 1:
+                seam *= 2
+            if seam > MAX_SEAM or seam > T // 8 or T % seam:
                 return None
 
             def tab(srcs, slots, s, b):
@@ -245,7 +251,12 @@ def _compiler_params(n_grid_dims: int):
     import os
 
     kw = {}
-    mb = os.environ.get("LDPC_VMEM_LIMIT_MB")
+    # default 32 MiB (device default is 16): the per-slot staging scratch
+    # (the WAR-hazard fix, see _window) needs d_max*(tile+2*seam)*lb*4
+    # bytes — 3.5 MiB at d_c=6/tile=1024 — which overflows the 16 MiB
+    # scoped budget at the flagship tile. Verified safe on v5e up to 64 MiB
+    # (total VMEM 128 MiB).
+    mb = os.environ.get("LDPC_VMEM_LIMIT_MB", "32")
     if mb:
         kw["vmem_limit_bytes"] = int(float(mb) * 1024 * 1024)
     if os.environ.get("LDPC_DIM_PARALLEL"):
@@ -315,29 +326,36 @@ def _refs_per_slot(seam: int) -> int:
     return 2
 
 
-def _window(refs, k: int, tab_ref, i, tile: int, seam: int, pair_scratch):
+def _window(refs, k: int, tab_ref, i, tile: int, seam: int, scratch):
     """Cut the rotated T-row window of slot k out of its fetched blocks.
 
     Mosaic has no value-level dynamic_slice; stage the blocks through a VMEM
     scratch ref and use dynamic-start ref indexing instead. The scratch is
     always f32: dynamic sublane offsets are not supported for packed dtypes
     (bf16), and the upcast is needed for compute anyway.
+
+    Every slot stages into its own scratch region (``scratch[k]``): the
+    kernels keep all d window values live across the whole node update, and
+    re-slicing one shared region after it was overwritten for the next slot
+    is a WAR hazard once Mosaic defers the dynamic-offset loads (observed
+    as silent state corruption on v5e — same fix as _window_flat in
+    ops/qc_pallas_grouped.py).
     """
     if seam:
         main, halo = refs[2 * k], refs[2 * k + 1]
-        pair_scratch[seam : seam + tile] = main[0, 0].astype(jnp.float32)
+        scratch[k, seam : seam + tile, :] = main[0, 0].astype(jnp.float32)
         # the fetched halo block (see halo_map) goes before or after the
         # main tile depending on the window's sign; the slice below never
         # touches the other side, so its stale contents are harmless
         pos = jnp.where(tab_ref[i, k, 3] >= seam, seam + tile, 0)
-        pair_scratch[pl.ds(pos, seam), :] = halo[0, 0].astype(jnp.float32)
+        scratch[k, pl.ds(pos, seam), :] = halo[0, 0].astype(jnp.float32)
     else:
-        pair_scratch[0:tile] = refs[2 * k][0, 0].astype(jnp.float32)
-        pair_scratch[tile : 2 * tile] = (
+        scratch[k, 0:tile, :] = refs[2 * k][0, 0].astype(jnp.float32)
+        scratch[k, tile : 2 * tile, :] = (
             refs[2 * k + 1][0, 0].astype(jnp.float32)
         )
     s_fine = tab_ref[i, k, 3]
-    return pair_scratch[pl.ds(s_fine, tile), :]
+    return scratch[k, pl.ds(s_fine, tile), :]
 
 
 def _scratch_rows(tile: int, seam: int) -> int:
@@ -345,7 +363,7 @@ def _scratch_rows(tile: int, seam: int) -> int:
 
 
 def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
-               beta: float, phi_high: float):
+               beta: float, phi_high: float, phi_pre: float):
     """Check-node update (flood_backward) with rotated reads.
 
     refs = d_c slots' message blocks, syndrome tile, output [1, d_c, T, B],
@@ -386,14 +404,15 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
         for x in a[1:]:
             ext = ext + x
         for k in range(d_c):
-            res = _phi_abs_f32(ext - a[k], phi_high)
+            res = _phi_abs_f32(ext - a[k], phi_high, phi_pre)
             is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
             out_ref[0, k] = jnp.where(is_neg, -res, res).astype(
                 out_ref.dtype)
 
 
 def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
-               emit_bits: bool, alg: str, clamp: float, phi_high: float):
+               emit_bits: bool, alg: str, clamp: float, phi_high: float,
+               phi_pre: float):
     """Variable-node update (flood_forward) with rotated reads.
 
     refs = d_v slots' r_c blocks, llr tile, then out refs
@@ -423,12 +442,12 @@ def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
                 out_msgs.dtype)
         else:
             out_msgs[0, k] = jnp.copysign(
-                _phi_abs_f32(jnp.abs(pre), phi_high), pre
+                _phi_abs_f32(jnp.abs(pre), phi_high, phi_pre), pre
             ).astype(out_msgs.dtype)
 
 
 def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
-            beta: float = 0.0):
+            beta: float = 0.0, phi_pre: float = PRE_THRESHOLD):
     """msgs_v [C, d_v, Z, B], syn3 [R, Z, B] -> r_c [R, d_c, Z, B]."""
     T, Z, B = tables.tile, tables.Z, msgs_v.shape[-1]
     NT = Z // T
@@ -448,12 +467,15 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
+            pltpu.VMEM(
+                (tables.d_c, _scratch_rows(T, tables.seam), lb), jnp.float32
+            )
         ],
     )
     return pl.pallas_call(
         partial(_cn_kernel, d_c=tables.d_c, tile=T, seam=tables.seam,
-                alg=alg, beta=beta, phi_high=_phi_high(msgs_v.dtype)),
+                alg=alg, beta=beta, phi_high=_phi_high(msgs_v.dtype),
+                phi_pre=phi_pre),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (tables.R, tables.d_c, Z, B), msgs_v.dtype
@@ -464,7 +486,8 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
 
 
 def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
-            alg: str = "sum-product", clamp: float = 64.0):
+            alg: str = "sum-product", clamp: float = 64.0,
+            phi_pre: float = PRE_THRESHOLD):
     """r_c [R, d_c, Z, B], llr3 [C, Z, B] -> msgs_v [C, d_v, Z, B]
     (+ hard decisions [C, Z, B] int8 when emit_bits)."""
     T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
@@ -499,13 +522,15 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((_scratch_rows(T, tables.seam), lb), jnp.float32)
+            pltpu.VMEM(
+                (tables.d_v, _scratch_rows(T, tables.seam), lb), jnp.float32
+            )
         ],
     )
     out = pl.pallas_call(
         partial(_vn_kernel, d_v=tables.d_v, tile=T, seam=tables.seam,
                 emit_bits=emit_bits, alg=alg, clamp=clamp,
-                phi_high=_phi_high(r_c.dtype)),
+                phi_high=_phi_high(r_c.dtype), phi_pre=phi_pre),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=_compiler_params(3),
@@ -515,7 +540,8 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
 
 
 def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
-                            dtype=jnp.float32, alg: str = "sum-product"):
+                            dtype=jnp.float32, alg: str = "sum-product",
+                            phi_pre: float = PRE_THRESHOLD):
     """VN-layout init: every slot of a variable gets φ(llr) (or the llr
     itself for min-sum) — aligned, no rotation needed (unlike CN-layout
     init)."""
@@ -525,7 +551,7 @@ def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
         p = llr.astype(dtype)
     else:
         p = jnp.copysign(
-            _phi_abs_f32(jnp.abs(llr), _phi_high(dtype)), llr
+            _phi_abs_f32(jnp.abs(llr), _phi_high(dtype), phi_pre), llr
         ).astype(dtype)
     m = jnp.broadcast_to(
         p[:, None], (tables.C, tables.d_v, tables.Z, B)
@@ -533,10 +559,11 @@ def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
     return m.reshape(tables.n_edges, B)
 
 
-@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp"))
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
 def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
                              k: int, alg: str = "sum-product",
-                             beta: float = 0.0, clamp: float = 64.0):
+                             beta: float = 0.0, clamp: float = 64.0,
+                             phi_pre: float = PRE_THRESHOLD):
     """2-D-interface twin of ops.decode.run_iterations (msgs in VN layout).
 
     The k-iteration superstep: k-1 light iterations (messages only), then a
@@ -557,15 +584,15 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     syn = syn2d.reshape(R, Z, B)
 
     def body(_, m):
-        r_c = cn_pass(m, syn, tables, alg, beta)
+        r_c = cn_pass(m, syn, tables, alg, beta, phi_pre)
         m2, _ = vn_pass(r_c, llr, tables, emit_bits=False, alg=alg,
-                        clamp=clamp)
+                        clamp=clamp, phi_pre=phi_pre)
         return m2
 
     msgs = jax.lax.fori_loop(0, k - 1, body, msgs)
-    r_c = cn_pass(msgs, syn, tables, alg, beta)
+    r_c = cn_pass(msgs, syn, tables, alg, beta, phi_pre)
     msgs, bits = vn_pass(r_c, llr, tables, emit_bits=True, alg=alg,
-                         clamp=clamp)
+                         clamp=clamp, phi_pre=phi_pre)
     violated = parity_pass(bits, syn, tables)
     return (
         msgs.reshape(tables.n_edges, B),
@@ -597,13 +624,14 @@ def _parity_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int):
     for k in range(d_c):
         if seam:
             main, halo = refs[2 * k], refs[2 * k + 1]
-            scratch[seam : seam + tile] = main[0].astype(jnp.int32)
+            scratch[k, seam : seam + tile, :] = main[0].astype(jnp.int32)
             pos = jnp.where(tab_ref[i, k, 3] >= seam, seam + tile, 0)
-            scratch[pl.ds(pos, seam), :] = halo[0].astype(jnp.int32)
+            scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.int32)
         else:
-            scratch[0:tile] = refs[2 * k][0].astype(jnp.int32)
-            scratch[tile : 2 * tile] = refs[2 * k + 1][0].astype(jnp.int32)
-        acc = acc + scratch[pl.ds(tab_ref[i, k, 3], tile), :]
+            scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.int32)
+            scratch[k, tile : 2 * tile, :] = refs[2 * k + 1][0].astype(
+                jnp.int32)
+        acc = acc + scratch[k, pl.ds(tab_ref[i, k, 3], tile), :]
     viol = acc & 1
     # out block is (1, 1, 8, lb) — Mosaic needs sublane dim >= 8
     out_ref[0, 0] = jnp.broadcast_to(
@@ -659,7 +687,9 @@ def parity_pass(bits, syn, tables: QCPallasTables):
                                lambda i, j, l, *_: (i, j, 0, l),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((_scratch_rows(T, seam), lb), jnp.int32)
+            pltpu.VMEM(
+                (tables.d_c, _scratch_rows(T, seam), lb), jnp.int32
+            )
         ],
     )
     viol = pl.pallas_call(

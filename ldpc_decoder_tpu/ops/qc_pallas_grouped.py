@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
+from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD
 from ldpc_decoder_tpu.ops.qc_pallas import (
     MAX_SEAM,
     _interpret,
@@ -157,8 +158,13 @@ class GroupedQCPallasTables:
                 b_all = np.concatenate([
                     _signed_fine(s_cn, cand), _signed_fine(s_vn, cand)])
                 need = int(np.abs(b_all).max()) + 1
-                sm = max(8, -(-need // 8) * 8)
-                if sm <= MAX_SEAM and sm <= cand // 8:
+                # seam must divide the tile (the halo BlockSpecs index
+                # tile//seam sub-blocks) — power-of-two rounding + check,
+                # in lockstep with qc_pallas.QCPallasTables.from_qc_tables
+                sm = 8
+                while sm < need:
+                    sm *= 2
+                if sm <= MAX_SEAM and sm <= cand // 8 and cand % sm == 0:
                     tile, seam = cand, sm
                     break
             cand //= 2
@@ -257,7 +263,8 @@ def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
 
 
 def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
-                 beta: float, block_start: int):
+                 beta: float, block_start: int,
+                 phi_pre: float = PRE_THRESHOLD):
     """Grouped check-node update; refs = d slots, syn, prev-alias (ANY,
     unused), out [d, T, lb], scratch."""
     r = _rps(seam)
@@ -293,13 +300,14 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
         for x in a[1:]:
             ext = ext + x
         for k in range(d):
-            res = _phi_abs_f32(ext - a[k])
+            res = _phi_abs_f32(ext - a[k], pre=phi_pre)
             is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
             out_ref[k] = jnp.where(is_neg, -res, res).astype(out_ref.dtype)
 
 
 def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
-                 emit_bits: bool, alg: str, clamp: float, block_start: int):
+                 emit_bits: bool, alg: str, clamp: float, block_start: int,
+                 phi_pre: float = PRE_THRESHOLD):
     """Grouped variable-node update; refs = d slots, llr, prev-alias (ANY),
     out msgs [d, T, lb], (bits [1, T, lb]), scratch."""
     r = _rps(seam)
@@ -322,7 +330,7 @@ def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
                 out_msgs.dtype)
         else:
             out_msgs[k] = jnp.copysign(
-                _phi_abs_f32(jnp.abs(pre)), pre
+                _phi_abs_f32(jnp.abs(pre), pre=phi_pre), pre
             ).astype(out_msgs.dtype)
 
 
@@ -359,7 +367,8 @@ def _alias_index(num_prefetch: int, operand_pos: int) -> int:
 
 
 def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
-                    alg: str = "sum-product", beta: float = 0.0):
+                    alg: str = "sum-product", beta: float = 0.0,
+                    phi_pre: float = PRE_THRESHOLD):
     """msgs_v [nb, Z, B] (vn order), syn3 [R, Z, B] -> r_c [nb, Z, B]
     (check order); r_c_prev is donated and partially overwritten group by
     group."""
@@ -393,7 +402,7 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
         )
         r_c = pl.pallas_call(
             partial(_cn_kernel_g, d=d, tile=T, seam=tables.seam, alg=alg,
-                    beta=beta, block_start=g.block_start),
+                    beta=beta, block_start=g.block_start, phi_pre=phi_pre),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((tables.nbc_pad, Z, B),
                                            msgs_v.dtype),
@@ -407,7 +416,7 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
 
 def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
                     emit_bits: bool, alg: str = "sum-product",
-                    clamp: float = 64.0):
+                    clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD):
     """r_c [nb, Z, B] -> msgs_v [nb, Z, B] (+ per-group bits concat
     [C, Z, B] int8 when emit_bits); msgs_prev donated."""
     T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
@@ -454,7 +463,7 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
         out = pl.pallas_call(
             partial(_vn_kernel_g, d=d, tile=T, seam=tables.seam,
                     emit_bits=emit_bits, alg=alg, clamp=clamp,
-                    block_start=g.block_start),
+                    block_start=g.block_start, phi_pre=phi_pre),
             grid_spec=grid_spec,
             out_shape=out_shape,
             input_output_aliases={
@@ -512,14 +521,15 @@ def parity_pass_grouped(bits, syn3, tables: GroupedQCPallasTables):
 
 
 def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
-                             dtype=jnp.float32, alg: str = "sum-product"):
+                             dtype=jnp.float32, alg: str = "sum-product",
+                             phi_pre: float = PRE_THRESHOLD):
     """[E, B] fresh vn-order flat messages from sorted 2-D LLRs."""
     B = llr2d.shape[-1]
     llr = llr2d.reshape(tables.C, tables.Z, B).astype(jnp.float32)
     if alg == "min-sum":
         p = llr
     else:
-        p = jnp.copysign(_phi_abs_f32(jnp.abs(llr)), llr)
+        p = jnp.copysign(_phi_abs_f32(jnp.abs(llr), pre=phi_pre), llr)
     # vn block u belongs to sorted column: expand per col group, with
     # zero padding blocks between groups (padded flat layout)
     parts = []
@@ -539,11 +549,12 @@ def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
     return m.reshape(tables.nbv_pad * tables.Z, B)
 
 
-@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp"))
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
 def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
                               tables: GroupedQCPallasTables, k: int,
                               alg: str = "sum-product", beta: float = 0.0,
-                              clamp: float = 64.0):
+                              clamp: float = 64.0,
+                              phi_pre: float = PRE_THRESHOLD):
     """2-D-interface twin of run_iterations_qc_pallas for irregular bases.
 
     Carries (msgs_v, r_c) through the superstep so the per-group aliased
@@ -558,15 +569,15 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
 
     def body(_, carry):
         m, rc = carry
-        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta)
+        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta, phi_pre)
         m, _ = vn_pass_grouped(rc, llr, m, tables, emit_bits=False,
-                               alg=alg, clamp=clamp)
+                               alg=alg, clamp=clamp, phi_pre=phi_pre)
         return m, rc
 
     msgs, r_c = jax.lax.fori_loop(0, k - 1, body, (msgs, r_c0))
-    r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta)
+    r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta, phi_pre)
     msgs, bits = vn_pass_grouped(r_c, llr, msgs, tables, emit_bits=True,
-                                 alg=alg, clamp=clamp)
+                                 alg=alg, clamp=clamp, phi_pre=phi_pre)
     violated = parity_pass_grouped(bits, syn, tables)
     return (
         msgs.reshape(tables.nbv_pad * Z, B),

@@ -114,6 +114,11 @@ def _create_data_native(code: LDPCCode, channel: Channel, vec_start: int,
     """Native (C++/OpenMP) create_data: same streams, parallel over frames."""
     from ldpc_decoder_tpu import native
 
+    if channel.channel_type not in ("awgn", "bsc"):
+        raise ValueError(
+            f"native datagen supports awgn/bsc channels only, got "
+            f"{channel.channel_type!r}; use backend='numpy' or 'auto'"
+        )
     n_groups = (n_frames + 31) // 32
     ref_words = native.gen_ref_words(vec_start, code.n_vars, n_groups)
 

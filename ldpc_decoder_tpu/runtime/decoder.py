@@ -38,6 +38,7 @@ from ldpc_decoder_tpu.channels.base import Channel
 from ldpc_decoder_tpu.codes.code import LDPCCode
 from ldpc_decoder_tpu.codes.compiled import CompiledCode, compile_code
 from ldpc_decoder_tpu.ops import decode as ops
+from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, pre_from_infinity_threshold
 from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
 
@@ -300,9 +301,17 @@ class LDPCDecoder:
         return False
 
     # ------------------------------------------------------------------
-    def _build_superstep(self, k: int, max_iter: int, n_pool: int):
+    def _build_superstep(self, k: int, max_iter: int, n_pool: int,
+                         phi_pre: float = PRE_THRESHOLD,
+                         input_is_llr: bool = False):
         """The superstep core: k iterations + parity + retire + refill.
-        Pure (state, pools) -> state; jitted by the two driver modes."""
+        Pure (state, pools) -> state; jitted by the two driver modes.
+
+        ``phi_pre`` realizes DynamicParams.infinity_threshold (the φ-input
+        floor, ops/phi.py); ``input_is_llr`` skips the device LLR
+        conversion for externally supplied LLR pools (the reference's
+        decoding_input_is_llr contract, h/ldpc_decoder_gpu_cuda.h:118-122).
+        """
         tables = self.tables
         n_words = self.n_words
         msg_dtype = self.msg_dtype
@@ -323,7 +332,8 @@ class LDPCDecoder:
             """Masked lane refill from the pool (flood_refill analog)."""
             safe = jnp.clip(ids, 0, n_pool - 1)
             vals = jnp.take(pool_values, safe, axis=1)  # [n_vars, B]
-            llr_new = self.channel.llr_from_channel(vals)
+            llr_new = (vals if input_is_llr
+                       else self.channel.llr_from_channel(vals))
             llr_new = jnp.where(tables.erased_mask_sorted, 0.0, llr_new)
             syn_new = jnp.take(pool_syn, safe, axis=1)
             lane = fresh[None, :]
@@ -334,7 +344,8 @@ class LDPCDecoder:
 
         def superstep(state: DecodeState, pool_values, pool_syn):
             msgs, bits, violated = self._run_iterations(
-                state.msgs, state.llr, state.syn, tables, k
+                state.msgs, state.llr, state.syn, tables, k,
+                phi_pre=phi_pre,
             )
             iters_done = state.iters_done + k
             done = state.active & (~violated | (iters_done >= max_iter))
@@ -364,7 +375,8 @@ class LDPCDecoder:
                 llr, syn = load_lanes(
                     pool_values, pool_syn, frame_ids, has_new, llr0, syn0
                 )
-                fresh = self._init_messages(llr, tables, dtype=msg_dtype)
+                fresh = self._init_messages(llr, tables, dtype=msg_dtype,
+                                            phi_pre=phi_pre)
                 return llr, syn, jnp.where(has_new[None, :], fresh, msgs0)
 
             llr, syn, msgs = jax.lax.cond(
@@ -388,13 +400,16 @@ class LDPCDecoder:
             n_pool - state.pool_next
         )
 
-    def _superstep_fn(self, k: int, max_iter: int, n_pool: int):
+    def _superstep_fn(self, k: int, max_iter: int, n_pool: int,
+                      phi_pre: float = PRE_THRESHOLD,
+                      input_is_llr: bool = False):
         """Host-polling driver: one jitted superstep returning the
         remaining-frames scalar (for progress logging)."""
-        key = ("poll", k, max_iter, n_pool)
+        key = ("poll", k, max_iter, n_pool, phi_pre, input_is_llr)
         if key in self._superstep_cache:
             return self._superstep_cache[key]
-        core = self._build_superstep(k, max_iter, n_pool)
+        core = self._build_superstep(k, max_iter, n_pool, phi_pre,
+                                     input_is_llr)
 
         def step(state, pool_values, pool_syn):
             new_state = core(state, pool_values, pool_syn)
@@ -404,13 +419,16 @@ class LDPCDecoder:
         self._superstep_cache[key] = fn
         return fn
 
-    def _full_decode_fn(self, k: int, max_iter: int, n_pool: int):
+    def _full_decode_fn(self, k: int, max_iter: int, n_pool: int,
+                        phi_pre: float = PRE_THRESHOLD,
+                        input_is_llr: bool = False):
         """Fused driver: the whole decode as one on-device while_loop —
         zero host round-trips until the results come back."""
-        key = ("fused", k, max_iter, n_pool)
+        key = ("fused", k, max_iter, n_pool, phi_pre, input_is_llr)
         if key in self._superstep_cache:
             return self._superstep_cache[key]
-        core = self._build_superstep(k, max_iter, n_pool)
+        core = self._build_superstep(k, max_iter, n_pool, phi_pre,
+                                     input_is_llr)
 
         def run(state, pool_values, pool_syn):
             return jax.lax.while_loop(
@@ -424,21 +442,22 @@ class LDPCDecoder:
         return fn
 
     def _mesh_decode_fn(self, k: int, max_iter: int, n_pool_local: int,
-                        mesh):
+                        mesh, phi_pre: float = PRE_THRESHOLD):
         """Multi-chip driver: the whole decode shard_mapped over the 'batch'
         mesh axis. Each device runs an independent local decoder over its
         slice of the frame pool (frames never span devices — SURVEY.md §2);
         the only cross-chip traffic is the psum'd remaining-frames scalar
         in the loop condition."""
-        key = ("mesh", k, max_iter, n_pool_local, id(mesh))
+        key = ("mesh", k, max_iter, n_pool_local, id(mesh), phi_pre)
         if key in self._superstep_cache:
             return self._superstep_cache[key]
         from jax.sharding import PartitionSpec as P
 
-        core = self._build_superstep(k, max_iter, n_pool_local)
+        core = self._build_superstep(k, max_iter, n_pool_local, phi_pre)
 
         def local_run(pool_values, pool_syn):
-            state = self._init_state(pool_values, pool_syn, n_pool_local)
+            state = self._init_state(pool_values, pool_syn, n_pool_local,
+                                     phi_pre)
 
             def cond(s):
                 return (
@@ -513,7 +532,12 @@ class LDPCDecoder:
             pad_syn[cn_order][:, deal], batch_sharding(mesh, 1, 2)
         )
 
-        fn = self._mesh_decode_fn(k, max_iter, n_local, mesh)
+        phi_pre = pre_from_infinity_threshold(dyn_params.infinity_threshold)
+        fn = self._mesh_decode_fn(k, max_iter, n_local, mesh, phi_pre)
+        # compile ahead of the timed region (VERDICT r1: sharded stats must
+        # not fold compile time into throughput; bench.py does the same for
+        # the single-chip path via a warm-up decode)
+        fn.lower(pool_values, pool_syn).compile()
         t0 = time.perf_counter()
         results_sh, iters_sh, supersteps = fn(pool_values, pool_syn)
         results_sh = np.asarray(results_sh)
@@ -539,16 +563,19 @@ class LDPCDecoder:
         )
         return results, stats
 
-    def _init_state(self, pool_values, pool_syn, n_pool: int) -> DecodeState:
+    def _init_state(self, pool_values, pool_syn, n_pool: int,
+                    phi_pre: float = PRE_THRESHOLD,
+                    input_is_llr: bool = False) -> DecodeState:
         b = self._parallel_factor
         frame_ids = jnp.arange(b, dtype=jnp.int32)
         active = frame_ids < n_pool
         safe = jnp.clip(frame_ids, 0, n_pool - 1)
         vals = jnp.take(pool_values, safe, axis=1)
-        llr = self.channel.llr_from_channel(vals)
+        llr = vals if input_is_llr else self.channel.llr_from_channel(vals)
         llr = jnp.where(self.tables.erased_mask_sorted, 0.0, llr)
         syn = jnp.take(pool_syn, safe, axis=1)
-        msgs = self._init_messages(llr, self.tables, dtype=self.msg_dtype)
+        msgs = self._init_messages(llr, self.tables, dtype=self.msg_dtype,
+                                   phi_pre=phi_pre)
         return DecodeState(
             msgs=msgs,
             llr=llr,
@@ -587,12 +614,6 @@ class LDPCDecoder:
             raise ValueError(
                 f"syndromes must be [{self.code.n_checks}, {n_vecs}]"
             )
-        if input_is_llr:
-            raise NotImplementedError(
-                "pass raw channel values; device-side LLR conversion is "
-                "always available for built-in channels"
-            )
-
         # upload pools in sorted layouts (one-time permutation)
         vn_order = np.asarray(self.cc.vn_order)
         cn_order = np.asarray(self.cc.cn_order)
@@ -603,6 +624,7 @@ class LDPCDecoder:
         return self.decode_presorted(
             dyn_params, n_vecs, pool_values, pool_syn,
             host_poll=host_poll, progress=progress,
+            input_is_llr=input_is_llr,
         )
 
     def decode_presorted(
@@ -614,18 +636,26 @@ class LDPCDecoder:
         host_poll: bool = False,
         progress=None,
         fetch_results: bool = True,
+        input_is_llr: bool = False,
     ):
         """Device-pool entry point: pools are already on device in the
         decoder's sorted layouts (e.g. produced by the on-device data
-        generator) — zero host transfers before decode."""
+        generator) — zero host transfers before decode.
+
+        ``input_is_llr``: pool_values are already LLRs (external channels
+        with no device conversion kernel — the reference's prepare_vectors
+        CPU path, ldpc_decoder_gpu.cu:199-216)."""
         import time
 
         k = dyn_params.num_iter_check_parity
         max_iter = dyn_params.num_iter_max
-        state = self._init_state(pool_values, pool_syn, n_vecs)
+        phi_pre = pre_from_infinity_threshold(dyn_params.infinity_threshold)
+        state = self._init_state(pool_values, pool_syn, n_vecs, phi_pre,
+                                 input_is_llr)
 
         if host_poll:
-            superstep = self._superstep_fn(k, max_iter, n_vecs)
+            superstep = self._superstep_fn(k, max_iter, n_vecs, phi_pre,
+                                           input_is_llr)
             t0 = time.perf_counter()
             while True:
                 state, n_remaining = superstep(state, pool_values, pool_syn)
@@ -637,7 +667,8 @@ class LDPCDecoder:
             jax.block_until_ready(state.results)
             elapsed = time.perf_counter() - t0
         else:
-            run = self._full_decode_fn(k, max_iter, n_vecs)
+            run = self._full_decode_fn(k, max_iter, n_vecs, phi_pre,
+                                       input_is_llr)
             t0 = time.perf_counter()
             state = run(state, pool_values, pool_syn)
             jax.block_until_ready(state.results)

@@ -47,9 +47,12 @@ class StaticParams:
 class DynamicParams:
     """Per-decode knobs (h/ldpc_decoder_gpu_common.h:24-54)."""
 
-    # kept for interface parity: the reference's OpenCL kernels derive the
-    # phi clamp from this; our phi bakes the same constants in (ops/phi.py)
-    infinity_threshold: float = 10.0
+    # runtime LLR-magnitude cap t: messages are clamped to |m| <= t via a
+    # φ-input floor of φ(t) ≈ 2e^{-t}, exactly the reference OpenCL
+    # backend's derivation (flood_vec2.cl:187, ldpc_decoder_gpu_common.h:
+    # 27-30). None = backend default 1e-5 (cap ≈ 12.2) — the reference
+    # CUDA backend's own hard-coded choice (flood.cu:14).
+    infinity_threshold: float | None = None
     num_iter_max: int = 100
     # iterations between on-device parity checks / refills
     num_iter_check_parity: int = 10

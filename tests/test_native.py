@@ -64,7 +64,7 @@ def test_deinterlace_words_roundtrip():
     n_words, n_groups = 96, 3
     interleaved = rng.integers(0, 2**32, (n_words, n_groups), dtype=np.uint32)
     per_frame = native.deinterlace_words(interleaved)
-    assert per_frame.shape == (n_groups * 32, n_words)
+    assert per_frame.shape == (n_groups * 32, (n_words + 31) // 32)
     # frame f = 32g+b, word t, bit i == bit b of interleaved[32t+i, g]
     f, t = 37, 2
     g, b = f // 32, f % 32

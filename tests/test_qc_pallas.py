@@ -138,6 +138,37 @@ def test_seam_mode_tables_and_equivalence():
                                       np.asarray(viol_xla))
 
 
+def test_wide_seam_divides_tile_and_matches_oracle():
+    """Regression: fine_mod large enough to force seam > 16 (here 32).
+
+    The pre-fix rounding produced seam=24 for fine_mod=20, which divides no
+    power-of-two tile — halo blocks were fetched from wrong rows and the
+    decoder silently returned wrong bits (ADVICE r1, high)."""
+    import jax.numpy as jnp
+
+    from ldpc_decoder_tpu.ops.qc_pallas import QCPallasTables
+
+    code, s = make_qc_code(BASE_36, Z=1024, seed=11, coarse=256, fine_mod=20)
+    ch = BIAWGNChannel(0.8)
+    dec_pl, dec_xla = _decoders(code, s, ch)
+    t = dec_pl.tables
+    assert isinstance(t, QCPallasTables)
+    assert t.seam > 16 and t.tile % t.seam == 0
+    n = 8
+    batch = create_data(code, ch, 0, n)
+    vn_order = np.asarray(t.vn_order)
+    cn_order = np.asarray(t.cn_order)
+    llr2d = jnp.asarray(ch.llr_np(batch.values)[vn_order][:, :n])
+    syn2d = jnp.asarray(batch.syndromes[cn_order][:, :n])
+    m_pl = dec_pl._init_messages(llr2d, t)
+    m_xla = dec_xla._init_messages(llr2d, dec_xla.tables)
+    m2, bits_pl, viol_pl = dec_pl._run_iterations(m_pl, llr2d, syn2d, t, 3)
+    _, bits_xla, viol_xla = dec_xla._run_iterations(
+        m_xla, llr2d, syn2d, dec_xla.tables, 3)
+    np.testing.assert_array_equal(np.asarray(bits_pl), np.asarray(bits_xla))
+    np.testing.assert_array_equal(np.asarray(viol_pl), np.asarray(viol_xla))
+
+
 def test_seam_mode_end_to_end():
     code, s = make_qc_code(BASE_36, Z=512, seed=7, coarse=128, fine_mod=4)
     ch = BIAWGNChannel(0.72)
