@@ -238,6 +238,7 @@ def make_qc_structure_repair(
     base: np.ndarray, Z: int, seed: int = 0,
     coarse: int | None = None, fine_mod: int = 4,
     weight4: int = 10_000, max_moves: int = 40_000,
+    allow_residual_6cycles: bool = False,
 ) -> QCStructure:
     """Girth-8 lift via targeted shift repair (CCSDS 131.1-style goal).
 
@@ -333,6 +334,21 @@ def make_qc_structure_repair(
             for si, pi, pos in entries:
                 P, coef, _ = pats[si]
                 masks[si][pi] = (s[P[pi]] * coef).sum() % Z == 0
+    if allow_residual_6cycles and not masks[0].any():
+        # small/mid lift sizes can lack the lattice freedom for girth 8;
+        # a handful of residual 6-cycles is acceptable for waterfall
+        # *evaluation* codes (never for shipped production codes)
+        import warnings
+
+        warnings.warn(
+            f"girth repair left {int(masks[1].sum())} closed 6-cycle "
+            f"patterns (girth 6) after {max_moves} moves"
+        )
+        return QCStructure(
+            Z=Z, n_base_rows=base.shape[0], n_base_cols=base.shape[1],
+            edge_row=rows.astype(np.int32), edge_col=cols.astype(np.int32),
+            edge_shift=s.astype(np.int32),
+        )
     raise RuntimeError(
         f"girth repair did not converge in {max_moves} moves "
         f"(residual violations: {[int(m.sum()) for m in masks]})"

@@ -563,6 +563,67 @@ class LDPCDecoder:
         )
         return results, stats
 
+    def profile_phases(
+        self,
+        pool_values,
+        pool_syn,
+        dyn_params: DynamicParams,
+        n_vecs: int,
+        repeats: int = 3,
+    ) -> dict[str, float]:
+        """Per-phase step timing in seconds (the reference's print_time
+        instrumentation of its refill steps, ldpc_decoder_gpu.cu:275-281,
+        517-601, surfaced at log >= 2).
+
+        Decomposes the superstep into: one light BP iteration, the
+        parity+hard-decision overhead of the superstep's final iteration,
+        the full k-iteration superstep incl. retire/refill machinery, and
+        the fresh-message init that dominates a refill.
+        """
+        import time as _time
+
+        k = dyn_params.num_iter_check_parity
+        phi_pre = pre_from_infinity_threshold(dyn_params.infinity_threshold)
+        state = self._init_state(pool_values, pool_syn, n_vecs, phi_pre)
+        jax.block_until_ready(state.msgs)
+
+        def timeit(fn, *a):
+            out = fn(*a)  # compile/warm
+            jax.block_until_ready(out)
+            t0 = _time.perf_counter()
+            for _ in range(repeats):
+                out = fn(*a)
+            jax.block_until_ready(out)
+            return (_time.perf_counter() - t0) / repeats
+
+        def run_k(kk):
+            return timeit(
+                lambda m, l, s: self._run_iterations(
+                    m, l, s, self.tables, kk, phi_pre=phi_pre
+                ),
+                state.msgs, state.llr, state.syn,
+            )
+
+        t1 = run_k(1)
+        tk = run_k(k) if k > 1 else t1
+        per_iter = (tk - t1) / (k - 1) if k > 1 else t1
+        t_init = timeit(
+            lambda l: self._init_messages(
+                l, self.tables, dtype=self.msg_dtype, phi_pre=phi_pre
+            ),
+            state.llr,
+        )
+        core = jax.jit(self._build_superstep(k, dyn_params.num_iter_max,
+                                             n_vecs, phi_pre))
+        t_super = timeit(core, state, pool_values, pool_syn)
+        return {
+            "bp_iteration": per_iter,
+            "parity_and_bits": max(t1 - per_iter, 0.0),
+            "superstep_total": t_super,
+            "retire_refill_pack": max(t_super - tk, 0.0),
+            "refill_message_init": t_init,
+        }
+
     def _init_state(self, pool_values, pool_syn, n_pool: int,
                     phi_pre: float = PRE_THRESHOLD,
                     input_is_llr: bool = False) -> DecodeState:

@@ -84,6 +84,21 @@ def do_test(
             )
 
         out.write(" Decoding\n")
+        if log_level >= 2 and i == 0:
+            # per-phase step timing, the print_time analog
+            # (ldpc_decoder_gpu.cu:275-281, 517-601)
+            import jax.numpy as jnp
+
+            vn_order = np.asarray(dec.cc.vn_order)
+            cn_order = np.asarray(dec.cc.cn_order)
+            phases = dec.profile_phases(
+                jnp.asarray(batch.values[vn_order]),
+                jnp.asarray(batch.syndromes[cn_order].astype(np.int8)),
+                dyn_params, n_vec_per_run,
+            )
+            out.write(" Phase timings (per call):\n")
+            for name, secs in phases.items():
+                out.write(f"  {name:22s} {secs * 1e3:9.3f} ms\n")
         # log level >= 2: per-superstep convergence progress via the
         # host-polling driver (the reference's per-iteration convergence
         # counts at -l >= 2, ldpc_decoder_gpu.cu:391-412)

@@ -39,7 +39,8 @@ def timeit(fn, *args, n=20, warmup=3):
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    dtype = jnp.bfloat16 if (len(sys.argv) < 3 or sys.argv[2] == "bf16") \
+    dtype = jnp.bfloat16 if (len(sys.argv) < 3
+                             or sys.argv[2] in ("bf16", "bfloat16")) \
         else jnp.float32
     code, qc = get_code()
     t = QCDecodeTables.from_structure(qc)

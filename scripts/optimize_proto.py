@@ -31,9 +31,25 @@ from ldpc_decoder_tpu.codes.protographs import (  # noqa: E402
     AR4JA_RATE_12,
 )
 
-DE_ITERS = 80          # decoder budget is 120 BP iters; 80 leaves margin
+import os
+
+DE_ITERS = int(os.environ.get("DE_ITERS", "80"))  # decoder budget is 120
 MAX_COL, MAX_ROW = 8, 8   # VMEM: grouped kernels keep tile 512 iff d<=8
 MAX_ENTRY = 3             # parallel edges per cell (pre-lift resolves)
+
+# best-known annealed bases per (R, C, n_punct) — seeds for refinement
+BEST_KNOWN = {
+    # constrained(80) 0.9461 / (120) 0.9549 / asym 0.9619  (round 2)
+    (4, 7, 1): np.array(
+        [[0, 1, 1, 0, 1, 0, 3], [0, 1, 0, 1, 2, 1, 2],
+         [0, 2, 0, 1, 1, 1, 1], [1, 0, 0, 0, 0, 0, 2]], dtype=np.int64),
+    # constrained(80) 0.9409 / (120) 0.9514 / asym 0.9619  (round 2)
+    (6, 10, 2): np.array(
+        [[0, 0, 0, 0, 1, 0, 2, 0, 1, 0], [0, 0, 1, 0, 1, 1, 0, 0, 0, 2],
+         [0, 1, 0, 0, 0, 0, 2, 0, 0, 1], [0, 0, 0, 1, 0, 2, 0, 2, 2, 1],
+         [0, 0, 1, 1, 0, 0, 0, 0, 0, 3], [1, 0, 1, 0, 0, 1, 2, 0, 0, 1]],
+        dtype=np.int64),
+}
 
 
 def valid(base, n_punct):
@@ -53,30 +69,64 @@ def valid(base, n_punct):
     return True
 
 
-def score(base, n_punct, lo=0.85, hi=1.0):
+def score(base, n_punct, lo=0.70, hi=1.0):
+    # lo must sit below any candidate's true threshold: scores clipped at
+    # lo are indistinguishable and leave the annealer blind (the 8x13 run
+    # stalled exactly this way at lo=0.85)
     punct = tuple(range(base.shape[1] - n_punct, base.shape[1]))
     return pexit_threshold(base, punct, lo=lo, hi=hi, tol=1e-3,
                            max_iters=DE_ITERS)
 
 
 def random_base(R, C, n_punct, rng):
-    for _ in range(1000):
-        base = rng.integers(0, 2, (R, C)).astype(np.int64)
-        # sprinkle parallel edges
-        for _ in range(R):
-            r, c = rng.integers(0, R), rng.integers(0, C)
-            base[r, c] = min(MAX_ENTRY, base[r, c] + rng.integers(1, 3))
-        if valid(base, n_punct):
+    # constructive sampler: per-column degree targets placed under row
+    # capacity (plain i.i.d.-cell draws almost never satisfy the degree
+    # caps at larger shapes)
+    for _ in range(500):
+        col_deg = rng.choice([1, 2, 2, 3, 3, 4], size=C)
+        if n_punct:
+            col_deg[-n_punct:] = rng.choice([3, 4, 5, 6], size=n_punct)
+        cap = np.full(R, MAX_ROW, dtype=np.int64)
+        base = np.zeros((R, C), dtype=np.int64)
+        ok = True
+        for c in np.argsort(-col_deg):
+            d = int(col_deg[c])
+            for _ in range(d):
+                avail = (cap > 0) & (base[:, c] < MAX_ENTRY)
+                if not avail.any():
+                    ok = False
+                    break
+                w = cap * avail
+                r = rng.choice(R, p=w / w.sum())
+                base[r, c] += 1
+                cap[r] -= 1
+            if not ok:
+                break
+        if ok and valid(base, n_punct):
             return base
     raise RuntimeError("no valid random base")
 
 
 def seed_bases(R, C, n_punct, rng):
     out = []
+    if (R, C, n_punct) in BEST_KNOWN:
+        out.append(BEST_KNOWN[(R, C, n_punct)].copy())
     if (R, C, n_punct) == (3, 5, 1):
         # AR4JA with its punctured column moved last
         b = AR4JA_RATE_12.astype(np.int64)
         out.append(b[:, [0, 2, 3, 4, 1]])
+    # block-diagonal doubling of a known smaller base (coupled copies
+    # explore larger shapes from a good start)
+    for (r0, c0, p0), b0 in BEST_KNOWN.items():
+        if (2 * r0, 2 * c0, 2 * p0) == (R, C, n_punct):
+            big = np.zeros((R, C), np.int64)
+            tr0, tc0 = c0 - p0, C - n_punct  # transmitted widths
+            big[:r0, :tr0] = b0[:, :tr0]
+            big[r0:, tr0:2 * tr0] = b0[:, :tr0]
+            big[:r0, tc0:tc0 + p0] = b0[:, tr0:]
+            big[r0:, tc0 + p0:] = b0[:, tr0:]
+            if valid(big, n_punct):
+                out.append(big)
     for _ in range(12):
         out.append(random_base(R, C, n_punct, rng))
     return out
@@ -110,7 +160,7 @@ def anneal(R, C, n_punct, steps, rng, t0=0.004):
         nb = neighbor(cur, n_punct, rng)
         if nb is None:
             break
-        s = score(nb, n_punct, lo=max(0.85, cur_s - 0.03))
+        s = score(nb, n_punct, lo=max(0.70, cur_s - 0.03))
         if s > cur_s or rng.random() < np.exp((s - cur_s) / T):
             cur, cur_s = nb, s
             if s > best_s:
