@@ -51,6 +51,16 @@ add_candidate("p41", [
     [1, 0, 0, 0, 0, 0, 2],
 ], 1, m=8, coarse=512, fine_mod=64)
 
+# 5x8, 2 punctured: constrained (80it) 0.9426, (120it) 0.9555,
+# asymptotic 0.9689 — more asymptotic margin, narrower tunnel than p41
+add_candidate("p52b", [
+    [1, 0, 0, 0, 0, 0, 1, 2],
+    [0, 1, 0, 0, 0, 0, 0, 2],
+    [0, 0, 0, 2, 0, 1, 1, 0],
+    [0, 0, 2, 1, 2, 0, 1, 1],
+    [0, 0, 0, 2, 1, 0, 1, 1],
+], 2, m=8, coarse=512, fine_mod=64)
+
 # 6x10, 2 punctured: constrained (80it) 0.9409, (120it) 0.9514
 add_candidate("p62", [
     [0, 0, 0, 0, 1, 0, 2, 0, 1, 0],
@@ -82,6 +92,9 @@ def main():
     n_frames = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     sigmas = ([float(x) for x in sys.argv[4].split(",")]
               if len(sys.argv) > 4 else [0.92, 0.93, 0.94])
+    alg = os.environ.get("EVAL_ALG", "sum-product")
+    beta = float(os.environ.get("EVAL_BETA", "0.5"))
+    max_iter = int(os.environ.get("EVAL_MAX_ITER", "120"))
 
     R, C = base.shape
     punct = tuple(range(C - n_punct, C))
@@ -108,10 +121,11 @@ def main():
         dec = LDPCDecoder(
             code, ch,
             StaticParams(max_log_parallel_factor_user=8,
-                         message_dtype="bfloat16"),
+                         message_dtype="bfloat16", algorithm=alg,
+                         minsum_offset=beta),
             qc=s,
         )
-        dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
+        dyn = DynamicParams(num_iter_max=max_iter, num_iter_check_parity=10,
                             loading_factor=2, target_errors=15)
         B = dec.parallel_factor()
         n = min(n_frames, B * dyn.loading_factor)

@@ -86,20 +86,23 @@ def probe(Zq, W, T, lb, d=6, R=16, label=""):
 
 
 def main():
+    import os
+
+    which = os.environ.get("PROBES", "base,lb256,g2,g4").split(",")
     # equal total volume per config: R*d*Zq*W = const
     # baseline: today's shape (Z=32768 plane, W=B=256, lb=128, T=1024)
-    probe(Zq=32768, W=256, T=1024, lb=128, label="lb=128 T=1024")
-    probe(Zq=32768, W=256, T=512, lb=128, label="lb=128 T=512 ")
-    probe(Zq=32768, W=256, T=1024, lb=256, label="lb=256 T=1024")
-    probe(Zq=32768, W=256, T=512, lb=256, label="lb=256 T=512 ")
-    # G=2 fold: Zq=16384, W=512
-    probe(Zq=16384, W=512, T=512, lb=512, label="G2 fold lb=512")
-    probe(Zq=16384, W=512, T=1024, lb=512, label="G2 fold lb=512 T1024")
-    # G=4 fold: Zq=8192, W=1024
-    probe(Zq=8192, W=1024, T=256, lb=1024, label="G4 fold lb=1024")
-    probe(Zq=8192, W=1024, T=512, lb=1024, label="G4 fold lb=1024 T512")
-    # G=8 fold
-    probe(Zq=4096, W=2048, T=256, lb=2048, label="G8 fold lb=2048")
+    if "base" in which:
+        probe(Zq=32768, W=256, T=1024, lb=128, label="lb=128 T=1024")
+    if "lb256" in which:
+        probe(Zq=32768, W=256, T=1024, lb=256, label="lb=256 T=1024")
+    if "g2" in which:
+        # G=2 fold: Zq=16384, W=512
+        probe(Zq=16384, W=512, T=512, lb=512, label="G2 fold lb=512")
+    if "g4" in which:
+        # G=4 fold: Zq=8192, W=1024
+        probe(Zq=8192, W=1024, T=256, lb=1024, label="G4 fold lb=1024")
+    if "g8" in which:
+        probe(Zq=4096, W=2048, T=128, lb=2048, label="G8 fold lb=2048")
 
 
 if __name__ == "__main__":

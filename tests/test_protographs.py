@@ -78,3 +78,55 @@ def test_multiedge_collapse_is_4cycle():
                       n_base_cols=s.n_base_cols, edge_row=s.edge_row,
                       edge_col=s.edge_col, edge_shift=shifts)
     assert _has_4cycle(bad)
+
+
+def test_two_stage_lift_girth8():
+    """prelift + repair lift: 0/1 pre-lifted base, girth >= 8 verified by
+    the independent counters, punctured columns land last."""
+    from ldpc_decoder_tpu.codes.protographs import (
+        make_protograph_code_two_stage,
+        prelift_base,
+    )
+    from ldpc_decoder_tpu.codes.qc import _count_6cycles
+
+    base, punct = ar4ja_base()
+    m = 4
+    big = prelift_base(base[:, [0, 2, 3, 4, 1]], m, seed=0)
+    assert big.shape == (base.shape[0] * m, base.shape[1] * m)
+    assert big.max() == 1
+    # degrees preserved m-fold
+    assert big.sum() == base.sum() * m
+    code, s = make_protograph_code_two_stage(
+        base, punct, m=m, Z=256, seed=3, coarse=64, fine_mod=16)
+    assert code.n_vars == base.shape[1] * m * 256
+    assert code.n_erased_vars == m * 256
+    assert not _has_4cycle(s)
+    assert _count_6cycles(s) == 0
+
+
+def test_two_stage_lift_decodes_end_to_end():
+    """Punctured AR4JA two-stage lift decodes through the grouped kernels
+    below threshold (sigma 0.80 << sigma* 0.93)."""
+    import numpy as np_
+
+    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.codes.protographs import (
+        make_protograph_code_two_stage,
+    )
+    from ldpc_decoder_tpu.runtime.datagen import create_data
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    base, punct = ar4ja_base()
+    code, s = make_protograph_code_two_stage(
+        base, punct, m=4, Z=128, seed=5, coarse=32, fine_mod=8)
+    ch = BIAWGNChannel(0.80)
+    dec = LDPCDecoder(
+        code, ch, StaticParams(max_log_parallel_factor_user=3), qc=s)
+    dyn = DynamicParams(num_iter_max=100, num_iter_check_parity=10,
+                        loading_factor=1)
+    n = dec.parallel_factor()
+    batch = create_data(code, ch, 0, n)
+    results, stats = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np_.bitwise_count(batch.ref_bits_packed() ^ results).sum(axis=1)
+    assert errors.sum() == 0, f"errors: {errors}"
