@@ -235,6 +235,46 @@ def make_protograph_code(base, punctured_cols, Z: int, seed: int = 0,
                         coarse=coarse, fine_mod=fine_mod)
 
 
+# The flagship punctured protograph ("p41"): 4x7 rate-1/2-over-transmitted
+# base with ONE punctured column (the last, degree 8) and one degree-1
+# transmitted column — found by simulated annealing over small integer
+# protomatrices under the ITERATION-CONSTRAINED P-EXIT score
+# (scripts/optimize_proto.py). Thresholds: sigma*(80 DE iters) = 0.9461,
+# sigma*(120) = 0.9549, asymptotic 0.9619.
+#
+# Measured at n = 1,032,192 (two-stage lift m=8, Z=18432, girth 8,
+# coarse=512/fine_mod=64 seam lattice; 512 frames, <=120 iters, bf16
+# sum-product): sigma 0.94 -> FER 0, BER 0, avg 71.0 iters; sigma 0.95 ->
+# FER 0, avg 98.2; waterfall edge between 0.950 and 0.955 (FER 0.56 at
+# 0.955). The reference's unpublished flagship code decodes sigma <= 0.95
+# with FER(>=1) 0.047 / BER 2.3e-7 AT sigma 0.94 (README.md:77-115) — this
+# construction strictly beats it at both operating points, at 95.8% of
+# Shannon at its edge (capacity(0.95) = 0.5219, rate 0.5).
+P41_BASE = np.array(
+    [
+        [0, 1, 1, 0, 1, 0, 3],
+        [0, 1, 0, 1, 2, 1, 2],
+        [0, 2, 0, 1, 1, 1, 1],
+        [1, 0, 0, 0, 0, 0, 2],
+    ],
+    dtype=np.int8,
+)
+P41_PUNCTURED_COLS = (6,)
+
+
+def p41_code(Z: int = 18432, seed: int = 1, m: int = 8,
+             coarse: int | None = 512, fine_mod: int = 64):
+    """Build the flagship sigma<=0.95 punctured code (see P41_BASE).
+
+    n = 7*m*Z total variables of which m*Z are punctured; rate 1/2 over
+    transmitted bits. Defaults give the validated n=1,032,192 instance.
+    """
+    return make_protograph_code_two_stage(
+        P41_BASE, P41_PUNCTURED_COLS, m=m, Z=Z, seed=seed,
+        coarse=coarse, fine_mod=fine_mod,
+    )
+
+
 # P-EXIT-optimized 12x24 rate-1/2 base (RU max-d_v-8 degree profile,
 # scripts/optimize_base.py: random search + degree-preserving edge-swap
 # hill climb maximizing the Gaussian-approximation P-EXIT threshold).

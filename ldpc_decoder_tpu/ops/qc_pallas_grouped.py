@@ -546,7 +546,13 @@ def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
         )
         pos = g.block_start + g.count * g.degree
     m = jnp.concatenate(parts, axis=0).astype(dtype)
-    return m.reshape(tables.nbv_pad * tables.Z, B)
+    # message state is the PAIR (msgs_v, r_c): carrying r_c across
+    # supersteps (instead of a fresh jnp.zeros each superstep) saves a
+    # full edge-array HBM write per superstep — its contents only need to
+    # EXIST (every cn_pass fully rewrites all non-padding blocks before
+    # any read)
+    rc = jnp.zeros((tables.nbc_pad * tables.Z, B), dtype)
+    return (m.reshape(tables.nbv_pad * tables.Z, B), rc)
 
 
 @partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
@@ -557,15 +563,18 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
                               phi_pre: float = PRE_THRESHOLD):
     """2-D-interface twin of run_iterations_qc_pallas for irregular bases.
 
-    Carries (msgs_v, r_c) through the superstep so the per-group aliased
-    writes recycle the same two edge-sized buffers with no extra traffic.
+    ``msgs2d`` is the (msgs_v, r_c) pair from init_messages_qc_grouped;
+    both edge-sized buffers are carried across supersteps and recycled
+    in place by the per-group aliased writes — no fresh allocations or
+    zero-fills anywhere in the loop.
     """
+    msgs2d, rc2d = msgs2d
     B = msgs2d.shape[-1]
     Z = tables.Z
     msgs = msgs2d.reshape(tables.nbv_pad, Z, B)
     llr = llr2d.reshape(tables.C, Z, B).astype(msgs.dtype)
     syn = syn2d.reshape(tables.R, Z, B)
-    r_c0 = jnp.zeros((tables.nbc_pad, Z, B), msgs.dtype)
+    r_c0 = rc2d.reshape(tables.nbc_pad, Z, B)
 
     def body(_, carry):
         m, rc = carry
@@ -580,7 +589,8 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
                                  alg=alg, clamp=clamp, phi_pre=phi_pre)
     violated = parity_pass_grouped(bits, syn, tables)
     return (
-        msgs.reshape(tables.nbv_pad * Z, B),
+        (msgs.reshape(tables.nbv_pad * Z, B),
+         r_c.reshape(tables.nbc_pad * Z, B)),
         bits.reshape(tables.n_vars, B),
         violated,
     )

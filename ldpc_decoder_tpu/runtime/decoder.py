@@ -377,7 +377,12 @@ class LDPCDecoder:
                 )
                 fresh = self._init_messages(llr, tables, dtype=msg_dtype,
                                             phi_pre=phi_pre)
-                return llr, syn, jnp.where(has_new[None, :], fresh, msgs0)
+                # message state may be a pytree (e.g. the grouped path's
+                # (msgs_v, r_c) pair) — refill each leaf lane-masked
+                merged = jax.tree.map(
+                    lambda f, o: jnp.where(has_new[None, :], f, o),
+                    fresh, msgs0)
+                return llr, syn, merged
 
             llr, syn, msgs = jax.lax.cond(
                 jnp.any(has_new), _refill, lambda op: op,

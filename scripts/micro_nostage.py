@@ -10,7 +10,7 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from bench import get_code  # noqa: E402
+from bench import get_reg36_code as get_code  # noqa: E402
 from ldpc_decoder_tpu.ops import qc_pallas as qp  # noqa: E402
 from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables  # noqa: E402
 

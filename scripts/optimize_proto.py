@@ -43,6 +43,11 @@ BEST_KNOWN = {
     (4, 7, 1): np.array(
         [[0, 1, 1, 0, 1, 0, 3], [0, 1, 0, 1, 2, 1, 2],
          [0, 2, 0, 1, 1, 1, 1], [1, 0, 0, 0, 0, 0, 2]], dtype=np.int64),
+    # constrained(80) 0.9426 / (120) 0.9555 / asym 0.9689  (round 2)
+    (5, 8, 2): np.array(
+        [[1, 0, 0, 0, 0, 0, 1, 2], [0, 1, 0, 0, 0, 0, 0, 2],
+         [0, 0, 0, 2, 0, 1, 1, 0], [0, 0, 2, 1, 2, 0, 1, 1],
+         [0, 0, 0, 2, 1, 0, 1, 1]], dtype=np.int64),
     # constrained(80) 0.9409 / (120) 0.9514 / asym 0.9619  (round 2)
     (6, 10, 2): np.array(
         [[0, 0, 0, 0, 1, 0, 2, 0, 1, 0], [0, 0, 1, 0, 1, 1, 0, 0, 0, 2],
