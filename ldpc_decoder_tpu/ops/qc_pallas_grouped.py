@@ -40,12 +40,24 @@ from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
 from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD
 from ldpc_decoder_tpu.ops.qc_pallas import (
     MAX_SEAM,
+    _compiler_params,
     _interpret,
     _lane_block,
     _phi_abs_f32,
     _scratch_rows,
     _signed_fine,
 )
+
+
+def _group_tile_budget() -> int:
+    """Max d_max*tile*msg_bytes for the grouped kernels. 16384 admits
+    tile 1024 at d_max=8/bf16 under the raised 32 MiB scoped-VMEM limit
+    (qc_pallas._compiler_params); codes whose coarse lattice is finer
+    than the tile candidate fall back automatically via the seam
+    feasibility check."""
+    import os
+
+    return int(os.environ.get("LDPC_GROUP_TILE_BUDGET", "16384"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,14 +156,13 @@ class GroupedQCPallasTables:
                 return ((s - b) // tile) % NT, seam + b, int(np.abs(b).max())
             return (s // tile) % NT, s % tile, 0
 
-        # seam mode with the largest feasible tile, else tile-pair mode.
-        # VMEM budget (measured on v5e, 16 MiB scoped limit): with the
-        # per-slot staging scratch, the widest group fits iff
-        # d_max*tile*msg_bytes <= 8192.
+        # seam mode with the largest feasible tile, else tile-pair mode;
+        # VMEM budget: see _group_tile_budget
+        budget = _group_tile_budget()
         d_max = max(g.degree for g in t.row_groups + t.col_groups)
         tile, seam = None, 0
         cand = 1024
-        while cand >= 256 and d_max * cand * msg_bytes > 8192:
+        while cand >= 256 and d_max * cand * msg_bytes > budget:
             cand //= 2
         while cand >= 128:
             if Z % cand == 0:
@@ -170,7 +181,7 @@ class GroupedQCPallasTables:
             cand //= 2
         if tile is None:
             tile = 512
-            while Z % tile or d_max * tile * msg_bytes > 8192:
+            while Z % tile or d_max * tile * msg_bytes > budget:
                 tile //= 2
             if tile < 32:
                 raise ValueError(f"Z={Z} has no usable tile divisor")
@@ -409,6 +420,7 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
             input_output_aliases={
                 _alias_index(1, rps * d + 1): 0
             },
+            compiler_params=_compiler_params(3),
             interpret=_interpret(),
         )(tables.cn_read, *([msgs_v] * (rps * d)), syn3, r_c)
     return r_c
@@ -469,6 +481,7 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
             input_output_aliases={
                 _alias_index(1, rps * d + 1): 0
             },
+            compiler_params=_compiler_params(3),
             interpret=_interpret(),
         )(tables.vn_read, *([r_c] * (rps * d)), llr3, msgs)
         if emit_bits:
@@ -514,6 +527,7 @@ def parity_pass_grouped(bits, syn3, tables: GroupedQCPallasTables):
                     block_start=g.block_start),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((g.count, NT, 8, B), jnp.int8),
+            compiler_params=_compiler_params(3),
             interpret=_interpret(),
         )(tables.cn_col_read, *([bits] * (rps * d)), syn3)
         flags.append(jnp.any(viol[:, :, 0] > 0, axis=(0, 1)))

@@ -612,15 +612,23 @@ class LDPCDecoder:
         t1 = run_k(1)
         tk = run_k(k) if k > 1 else t1
         per_iter = (tk - t1) / (k - 1) if k > 1 else t1
-        t_init = timeit(
+        # jit the init: un-jitted it materializes every broadcast/concat
+        # temp at full edge size (OOMs 10^6-bit codes at B=256)
+        init_fn = jax.jit(
             lambda l: self._init_messages(
                 l, self.tables, dtype=self.msg_dtype, phi_pre=phi_pre
-            ),
-            state.llr,
+            )
         )
+        t_init = timeit(init_fn, state.llr)
         core = jax.jit(self._build_superstep(k, dyn_params.num_iter_max,
                                              n_vecs, phi_pre))
-        t_super = timeit(core, state, pool_values, pool_syn)
+        try:
+            t_super = timeit(core, state, pool_values, pool_syn)
+        except Exception:
+            # without donation the un-looped superstep holds two full
+            # states; at 10^6-bit scale that can exceed HBM — the fused
+            # driver's measured itpv covers the superstep total instead
+            t_super = float("nan")
         return {
             "bp_iteration": per_iter,
             "parity_and_bits": max(t1 - per_iter, 0.0),

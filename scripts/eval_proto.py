@@ -51,6 +51,15 @@ add_candidate("p41", [
     [1, 0, 0, 0, 0, 0, 2],
 ], 1, m=8, coarse=512, fine_mod=64)
 
+# p41 on the coarse-1024 lattice: admits tile-1024 grouped kernels
+# (LDPC_GROUP_TILE_BUDGET=16384 + 32 MiB scoped VMEM)
+add_candidate("p41c", [
+    [0, 1, 1, 0, 1, 0, 3],
+    [0, 1, 0, 1, 2, 1, 2],
+    [0, 2, 0, 1, 1, 1, 1],
+    [1, 0, 0, 0, 0, 0, 2],
+], 1, m=8, coarse=1024, fine_mod=64)
+
 # 5x8, 2 punctured: constrained (80it) 0.9426, (120it) 0.9555,
 # asymptotic 0.9689 — more asymptotic margin, narrower tunnel than p41
 add_candidate("p52b", [
@@ -93,6 +102,7 @@ def main():
     sigmas = ([float(x) for x in sys.argv[4].split(",")]
               if len(sys.argv) > 4 else [0.92, 0.93, 0.94])
     alg = os.environ.get("EVAL_ALG", "sum-product")
+    dtype = os.environ.get("EVAL_DTYPE", "bfloat16")
     beta = float(os.environ.get("EVAL_BETA", "0.5"))
     max_iter = int(os.environ.get("EVAL_MAX_ITER", "120"))
 
@@ -121,7 +131,7 @@ def main():
         dec = LDPCDecoder(
             code, ch,
             StaticParams(max_log_parallel_factor_user=8,
-                         message_dtype="bfloat16", algorithm=alg,
+                         message_dtype=dtype, algorithm=alg,
                          minsum_offset=beta),
             qc=s,
         )

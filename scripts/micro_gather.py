@@ -1,0 +1,112 @@
+"""Pallas-gather experiment for the general (non-QC) path.
+
+The general path's edge permutation is an arbitrary 3.1M-row gather;
+measured end-to-end it runs at ~5 Mb/s (scripts/bench_general.py) because
+XLA's TPU gather of short rows is latency-bound. This script measures the
+candidate mitigation the ROADMAP calls for: a Pallas kernel that issues
+many outstanding per-row async DMA copies from HBM (manual gather with
+deep pipelining), vs jnp.take.
+
+Verdict recorded in ROADMAP.md — random codes have no locality (expander
+graphs), so every scheme pays per-row latency; QC structure is the real
+fix (that is the framework's co-design thesis).
+
+Usage: python scripts/micro_gather.py [n_rows] [B] [G]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+
+def timeit(fn, *args, n=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 21
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    G = int(sys.argv[3]) if len(sys.argv) > 3 else 512  # rows per grid step
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((N, B)).astype(np.float32))
+    idx = jnp.asarray(rng.permutation(N).astype(np.int32))
+    gb = 2 * N * B * 4 / 1e9
+
+    take = jax.jit(lambda s, i: jnp.take(s, i, axis=0))
+    t = timeit(take, src, idx)
+    print(f"jnp.take   random perm: {t*1e3:8.2f} ms  {gb/t:6.1f} GB/s "
+          f"({t/N*1e9:.1f} ns/row)", flush=True)
+
+    srt = jnp.sort(idx)
+    t = timeit(take, src, srt)
+    print(f"jnp.take   sorted idx : {t*1e3:8.2f} ms  {gb/t:6.1f} GB/s",
+          flush=True)
+
+    UNROLL = int(os.environ.get("GATHER_UNROLL", "0"))
+
+    def kernel(idx_ref, src_ref, out_ref, scratch, sem):
+        i = pl.program_id(0)
+
+        def copy(g):
+            row = idx_ref[i * G + g]
+            return pltpu.make_async_copy(
+                src_ref.at[pl.ds(row, 1), :],
+                scratch.at[pl.ds(g, 1), :],
+                sem,
+            )
+
+        if UNROLL:
+            for g in range(G):
+                copy(g).start()
+            for g in range(G):
+                copy(g).wait()
+        else:
+            jax.lax.fori_loop(0, G, lambda g, _: (copy(g).start(), 0)[1], 0)
+            jax.lax.fori_loop(0, G, lambda g, _: (copy(g).wait(), 0)[1], 0)
+        out_ref[...] = scratch[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # src stays HBM
+        out_specs=pl.BlockSpec((G, B), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((G, B), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    gather = jax.jit(lambda s, i: pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, B), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20),
+    )(i, s))
+    try:
+        t = timeit(gather, src, idx)
+        print(f"pallas async-copy gather (G={G}): {t*1e3:8.2f} ms  "
+              f"{gb/t:6.1f} GB/s ({t/N*1e9:.1f} ns/row)", flush=True)
+    except Exception as e:
+        print(f"pallas gather FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
