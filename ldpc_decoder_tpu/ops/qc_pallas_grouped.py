@@ -439,6 +439,14 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
     bits_parts = []
     for g in tables.col_groups:
         d = g.degree
+        if d == 1 and not emit_bits:
+            # a degree-1 variable's outgoing message is φ(total - r) =
+            # φ(llr): constant across iterations — its blocks were
+            # initialized to exactly that (init_messages_qc_grouped) and
+            # the aliased carry preserves them, so skip the launch (and
+            # its read+write of the whole group) on non-emit iterations.
+            # Emit iterations still run it for the hard decisions.
+            continue
         out_specs = [
             pl.BlockSpec(
                 (d, T, lb),

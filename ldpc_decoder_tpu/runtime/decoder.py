@@ -377,11 +377,21 @@ class LDPCDecoder:
                 )
                 fresh = self._init_messages(llr, tables, dtype=msg_dtype,
                                             phi_pre=phi_pre)
-                # message state may be a pytree (e.g. the grouped path's
-                # (msgs_v, r_c) pair) — refill each leaf lane-masked
-                merged = jax.tree.map(
-                    lambda f, o: jnp.where(has_new[None, :], f, o),
-                    fresh, msgs0)
+                # message state may be a pytree; refill each leaf
+                # lane-masked. The grouped path's second leaf is the
+                # carried r_c buffer whose contents are fully rewritten by
+                # the next CN pass before any read — keep the old buffer
+                # and skip merging ~an edge-array of traffic per refill.
+                if (isinstance(fresh, tuple) and len(fresh) == 2
+                        and isinstance(msgs0, tuple)):
+                    merged = (
+                        jnp.where(has_new[None, :], fresh[0], msgs0[0]),
+                        msgs0[1],
+                    )
+                else:
+                    merged = jax.tree.map(
+                        lambda f, o: jnp.where(has_new[None, :], f, o),
+                        fresh, msgs0)
                 return llr, syn, merged
 
             llr, syn, msgs = jax.lax.cond(

@@ -57,6 +57,9 @@ BEST_KNOWN = {
 }
 
 
+ROW_DEG = int(os.environ.get("ROW_DEG", "0"))  # 0 = free row degrees
+
+
 def valid(base, n_punct):
     R, C = base.shape
     cd = base.sum(axis=0)
@@ -64,6 +67,8 @@ def valid(base, n_punct):
     if (cd > MAX_COL).any() or (rd > MAX_ROW).any():
         return False
     if (rd < 2).any() or (cd < 1).any():
+        return False
+    if ROW_DEG and (rd != ROW_DEG).any():
         return False
     # punctured columns (the last n_punct) must be well protected
     if n_punct and (cd[-n_punct:] < 3).any():
@@ -91,6 +96,20 @@ def random_base(R, C, n_punct, rng):
         col_deg = rng.choice([1, 2, 2, 3, 3, 4], size=C)
         if n_punct:
             col_deg[-n_punct:] = rng.choice([3, 4, 5, 6], size=n_punct)
+        if ROW_DEG:
+            # resample until the totals admit row-regularity
+            need = R * ROW_DEG - int(col_deg.sum())
+            for _ in range(64):
+                if need == 0:
+                    break
+                j = rng.integers(0, C)
+                step = 1 if need > 0 else -1
+                lo = 3 if (n_punct and j >= C - n_punct) else 1
+                if lo <= col_deg[j] + step <= MAX_COL:
+                    col_deg[j] += step
+                    need -= step
+            if need != 0:
+                continue
         cap = np.full(R, MAX_ROW, dtype=np.int64)
         base = np.zeros((R, C), dtype=np.int64)
         ok = True
@@ -115,7 +134,9 @@ def random_base(R, C, n_punct, rng):
 def seed_bases(R, C, n_punct, rng):
     out = []
     if (R, C, n_punct) in BEST_KNOWN:
-        out.append(BEST_KNOWN[(R, C, n_punct)].copy())
+        b = BEST_KNOWN[(R, C, n_punct)].copy()
+        if valid(b, n_punct):  # e.g. ROW_DEG may exclude it
+            out.append(b)
     if (R, C, n_punct) == (3, 5, 1):
         # AR4JA with its punctured column moved last
         b = AR4JA_RATE_12.astype(np.int64)
@@ -140,8 +161,16 @@ def seed_bases(R, C, n_punct, rng):
 def neighbor(base, n_punct, rng):
     for _ in range(200):
         nb = base.copy()
-        r, c = rng.integers(0, base.shape[0]), rng.integers(0, base.shape[1])
-        if rng.random() < 0.5 and nb[r, c] < MAX_ENTRY:
+        r = rng.integers(0, base.shape[0])
+        c = rng.integers(0, base.shape[1])
+        if ROW_DEG:
+            # row-degree-preserving: move one edge within a row
+            c2 = rng.integers(0, base.shape[1])
+            if c2 == c or nb[r, c] == 0 or nb[r, c2] >= MAX_ENTRY:
+                continue
+            nb[r, c] -= 1
+            nb[r, c2] += 1
+        elif rng.random() < 0.5 and nb[r, c] < MAX_ENTRY:
             nb[r, c] += 1
         elif nb[r, c] > 0:
             nb[r, c] -= 1

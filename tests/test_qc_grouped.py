@@ -117,3 +117,16 @@ def test_ar4ja_punctured_end_to_end():
     res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
     errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
     assert errors == 0
+
+
+def test_p41_base_grouped_matches_xla():
+    """The flagship p41 protograph's pre-lifted base (with DEGREE-1
+    columns, whose VN launches are skipped on non-emit iterations) stays
+    bit-identical to the XLA oracle across supersteps."""
+    from ldpc_decoder_tpu.codes.protographs import P41_BASE, prelift_base
+
+    big = prelift_base(P41_BASE[:, [0, 1, 2, 3, 4, 5, 6]], m=4, seed=0)
+    code, s = make_qc_code(big, Z=128, seed=6, coarse=32, fine_mod=8,
+                           min_girth=4)
+    ch = BIAWGNChannel(0.8)
+    _check_equivalence(code, s, ch, ks=(1, 4))
