@@ -78,7 +78,8 @@ def get_reg36_code():
     return code, s
 
 
-def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120):
+def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
+              check_period=10):
     """Decode n_frames at sigma; returns (dec_mbps, e2e_mbps, stats dict)."""
     from ldpc_decoder_tpu.channels import BIAWGNChannel
     from ldpc_decoder_tpu.runtime.datagen_device import (
@@ -95,7 +96,8 @@ def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120):
                      algorithm=alg),
         qc=qc,
     )
-    dyn = DynamicParams(num_iter_max=max_iter, num_iter_check_parity=10,
+    dyn = DynamicParams(num_iter_max=max_iter,
+                        num_iter_check_parity=check_period,
                         loading_factor=2, target_errors=15)
     B = dec.parallel_factor()
     n = min(n_frames, B * dyn.loading_factor)
@@ -150,10 +152,11 @@ def main():
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     alg = os.environ.get("BENCH_ALG", "sum-product")
     n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
+    check_period = int(os.environ.get("BENCH_K", "14"))
 
     code, qc = get_code()
     dec_mbps, e2e_mbps, st = run_point(code, qc, sigma, dtype, alg,
-                                       n_frames)
+                                       n_frames, check_period=check_period)
 
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
         import gc

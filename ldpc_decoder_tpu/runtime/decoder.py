@@ -100,20 +100,26 @@ def _pack_bits_natural(bits_sorted: jnp.ndarray, vn_pos: jnp.ndarray,
     if block_perm is not None:
         b = bits_sorted.shape[-1]
         blocks = bits_sorted.reshape(len(block_perm), Z, b)
-        bits_nat = blocks[np.array(block_perm)].reshape(-1, b).astype(
-            jnp.uint32)
+        bits_nat = blocks[np.array(block_perm)].reshape(-1, b)
     else:
-        bits_nat = jnp.take(bits_sorted, vn_pos, axis=0).astype(jnp.uint32)
+        bits_nat = jnp.take(bits_sorted, vn_pos, axis=0)
     n_vars, b = bits_nat.shape
     pad = n_words * 32 - n_vars
     if pad:
         bits_nat = jnp.concatenate(
-            [bits_nat, jnp.zeros((pad, b), jnp.uint32)], axis=0
+            [bits_nat, jnp.zeros((pad, b), bits_nat.dtype)], axis=0
         )
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :, None]
-    words = jnp.sum(
-        bits_nat.reshape(n_words, 32, b) << shifts, axis=1, dtype=jnp.uint32
-    )
+    # pack via two exact MXU contractions instead of a 32-step u32
+    # shift/sum chain (measured 7 ms -> ~2 ms at 2^20 x 256): 16 distinct
+    # powers of two with 0/1 weights sum below 2^16, exact in f32
+    # accumulation (bf16 operands are exact powers of two / bits)
+    blocks = bits_nat.reshape(n_words, 32, b).astype(jnp.bfloat16)
+    w16 = (2.0 ** np.arange(16)).astype(jnp.bfloat16)
+    lo = jnp.einsum("wzb,z->wb", blocks[:, :16], w16,
+                    preferred_element_type=jnp.float32)
+    hi = jnp.einsum("wzb,z->wb", blocks[:, 16:], w16,
+                    preferred_element_type=jnp.float32)
+    words = lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 16)
     return words.T  # [B, n_words]
 
 
