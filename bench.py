@@ -30,7 +30,8 @@ import time
 
 import numpy as np
 
-BASELINE_MBPS = 200.276  # README.md:106
+BASELINE_MBPS = 200.276  # README.md:106 (steady-state decoding)
+BASELINE_E2E_MBPS = 159.456  # README.md:103 (incl. transfers & finish)
 CACHE = os.path.join(os.path.dirname(__file__), "codes_cache")
 P41_ALIST = os.path.join(CACHE, "code_awgn_rate_0.5_thr_0.95.alist")
 REG36_ALIST = os.path.join(CACHE, "bench_qc36x_awgn_r05_1048576_g8.alist")
@@ -181,6 +182,12 @@ def main():
         "value": round(dec_mbps, 2),
         "unit": "Mb/s",
         "vs_baseline": round(dec_mbps / BASELINE_MBPS, 4),
+        # end-to-end wall throughput (the reference's "including
+        # transfers and finish" number, README.md:103: 159.456 Mb/s) —
+        # our pool is generated on device, so there is nothing to
+        # transfer before decode
+        "e2e_mbps": round(e2e_mbps, 2),
+        "vs_baseline_e2e": round(e2e_mbps / BASELINE_E2E_MBPS, 4),
         "fer1": st["fer1"],
         "fer15": st["fer15"],
         "ber": st["ber"],
