@@ -156,8 +156,19 @@ def main():
     check_period = int(os.environ.get("BENCH_K", "14"))
 
     code, qc = get_code()
-    dec_mbps, e2e_mbps, st = run_point(code, qc, sigma, dtype, alg,
-                                       n_frames, check_period=check_period)
+    # the tunneled chip can transiently report RESOURCE_EXHAUSTED right
+    # after a previous TPU process exits (see CLAUDE.md); retry once
+    for attempt in (1, 2):
+        try:
+            dec_mbps, e2e_mbps, st = run_point(
+                code, qc, sigma, dtype, alg, n_frames,
+                check_period=check_period)
+            break
+        except Exception as e:
+            if attempt == 2 or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            log(f"transient device error, retrying in 60s: {e}")
+            time.sleep(60)
 
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
         import gc

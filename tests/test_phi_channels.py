@@ -153,3 +153,21 @@ def test_erasure_decode_end_to_end():
     res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
     errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
     assert errors == 0
+
+
+def test_pre_from_infinity_threshold():
+    """The OpenCL-backend derivation phi(t)=2e^-t and the None default
+    (the CUDA backend's hard-coded 1e-5)."""
+    import math
+
+    from ldpc_decoder_tpu.ops.phi import (
+        PRE_THRESHOLD,
+        phi_abs_np,
+        pre_from_infinity_threshold,
+    )
+
+    assert pre_from_infinity_threshold(None) == PRE_THRESHOLD
+    pre10 = pre_from_infinity_threshold(10.0)
+    assert abs(pre10 - 2 * math.exp(-10)) < 1e-12
+    # flooring phi's input at phi(t) caps the output at ~t (self-inverse)
+    assert abs(float(phi_abs_np(1e-9, pre=pre10)) - 10.0) < 0.01
