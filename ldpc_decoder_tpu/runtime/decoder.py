@@ -608,13 +608,20 @@ class LDPCDecoder:
         state = self._init_state(pool_values, pool_syn, n_vecs, phi_pre)
         jax.block_until_ready(state.msgs)
 
+        def fetch(out):
+            # this runtime may elide dispatches whose outputs are never
+            # materialized (block_until_ready alone is not enough) —
+            # fetch one element to force real execution
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            np.asarray(leaf[(0,) * leaf.ndim])  # tiny device-side slice
+
         def timeit(fn, *a):
             out = fn(*a)  # compile/warm
-            jax.block_until_ready(out)
+            fetch(out)
             t0 = _time.perf_counter()
             for _ in range(repeats):
                 out = fn(*a)
-            jax.block_until_ready(out)
+            fetch(out)
             return (_time.perf_counter() - t0) / repeats
 
         def run_k(kk):
