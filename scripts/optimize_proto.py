@@ -199,7 +199,10 @@ def anneal(R, C, n_punct, steps, rng, t0=0.004):
             cur, cur_s = nb, s
             if s > best_s:
                 best, best_s = nb.copy(), s
-                print(f"  step {step}: {s:.4f} *", flush=True)
+                # print the base on every improvement: long anneals may
+                # be killed and the best-so-far must not be lost
+                print(f"  step {step}: {s:.4f} * "
+                      f"BASE={nb.tolist()}", flush=True)
     return best, best_s
 
 
