@@ -31,18 +31,19 @@ HIGH_THRESHOLD = 80.0
 def pre_from_infinity_threshold(t: float | None) -> float:
     """φ-input floor realizing a runtime infinity threshold t.
 
-    The reference's OpenCL backend derives its pre_threshold from the
-    dynamic ``-∞ threshold`` parameter as φ(t) ≈ 2e^{-t} (flood_vec2.cl:187,
-    ldpc_decoder_gpu_common.h:27-30) — flooring φ's input at φ(t) caps the
-    output (message magnitude) at t, since φ is self-inverse. The CUDA
-    backend ignores the knob and hard-codes 1e-5 (≈ cap 12.2, flood.cu:14);
-    ``None`` selects that default.
+    The reference's OpenCL backend derives its pre_threshold as
+    ``φ(t+1) ≈ 2e^{-(t+1)}`` (flood_vec2.cl:72-74 define
+    phi(c_threshold+1) = c_pre_threshold; flood_vec2.cl:187 applies it) —
+    flooring φ's input at φ(t+1) caps the output (message magnitude) at
+    t + 1, since φ is self-inverse. The CUDA backend ignores the knob and
+    hard-codes 1e-5 (≈ cap 12.2, flood.cu:14); ``None`` selects that
+    default.
     """
     import math
 
     if t is None:
         return PRE_THRESHOLD
-    return 2.0 * math.exp(-float(t))
+    return 2.0 * math.exp(-(float(t) + 1.0))
 
 
 def phi_abs(x: jnp.ndarray, pre: float = PRE_THRESHOLD) -> jnp.ndarray:

@@ -217,8 +217,17 @@ def vn_update_qc(
         r = r_v[start : start + nbk].reshape(
             g.count, g.degree, tables.Z, -1
         ).astype(jnp.float32)
-        totals = llr[col : col + g.count] + jnp.sum(r, axis=1)
-        pre = totals[:, None] - r
+        lv = llr[col : col + g.count].astype(jnp.float32)
+        totals = lv + jnp.sum(r, axis=1)
+        if g.degree == 1:
+            # sole edge: the leave-one-out sum is exactly the channel LLR.
+            # Emit φ(llr) directly (not φ((llr+r)-r), which can differ in
+            # low-order f32 bits when llr+r rounds) so the grouped kernels'
+            # degree-1 launch skip — which retains the φ(llr) init value —
+            # stays bit-identical to this oracle.
+            pre = lv[:, None]
+        else:
+            pre = totals[:, None] - r
         m = jnp.copysign(phi_abs(jnp.abs(pre), phi_pre), pre).astype(r_v.dtype)
         msgs_out.append(m.reshape(nbk, tables.Z, -1))
         totals_out.append(totals)
@@ -332,10 +341,14 @@ def vn_update_qc_minsum(
         r = r_v[start : start + nbk].reshape(
             g.count, g.degree, tables.Z, -1
         ).astype(jnp.float32)
-        totals = llr[col : col + g.count].astype(jnp.float32) + jnp.sum(
-            r, axis=1
-        )
-        pre = totals[:, None] - r
+        lv = llr[col : col + g.count].astype(jnp.float32)
+        totals = lv + jnp.sum(r, axis=1)
+        if g.degree == 1:
+            # sole edge: emit clip(llr) exactly (see vn_update_qc) so the
+            # grouped kernels' degree-1 launch skip stays bit-identical
+            pre = lv[:, None]
+        else:
+            pre = totals[:, None] - r
         m = jnp.clip(pre, -clamp, clamp).astype(r_v.dtype)
         msgs_out.append(m.reshape(nbk, tables.Z, -1))
         totals_out.append(totals)

@@ -335,7 +335,11 @@ def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
     if emit_bits:
         out_bits[0] = (~jnp.signbit(total)).astype(jnp.int8)
     for k in range(d):
-        pre = total - w[k]
+        # sole edge: leave-one-out = channel LLR exactly (not total - w,
+        # which can differ in low-order bits when llr + r rounds) — keeps
+        # emit iterations bit-identical to the launch-skipped ones and to
+        # the oracle's d==1 special case (qc_decode.vn_update_qc)
+        pre = llr_ref[0].astype(jnp.float32) if d == 1 else total - w[k]
         if alg == "min-sum":
             out_msgs[k] = jnp.clip(pre, -clamp, clamp).astype(
                 out_msgs.dtype)
@@ -544,7 +548,8 @@ def parity_pass_grouped(bits, syn3, tables: GroupedQCPallasTables):
 
 def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
                              dtype=jnp.float32, alg: str = "sum-product",
-                             phi_pre: float = PRE_THRESHOLD):
+                             phi_pre: float = PRE_THRESHOLD,
+                             clamp: float = 64.0):
     """[E, B] fresh vn-order flat messages from sorted 2-D LLRs."""
     B = llr2d.shape[-1]
     llr = llr2d.reshape(tables.C, tables.Z, B).astype(jnp.float32)
@@ -561,6 +566,11 @@ def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
             parts.append(jnp.zeros(
                 (g.block_start - pos, tables.Z, B), jnp.float32))
         cols = p[g.node_start : g.node_start + g.count]
+        if alg == "min-sum" and g.degree == 1:
+            # the degree-1 launch skip retains these init values as the
+            # outgoing messages for all non-emit iterations — they must
+            # equal what the VN kernel writes (clip(llr), _vn_kernel_g)
+            cols = jnp.clip(cols, -clamp, clamp)
         parts.append(
             jnp.broadcast_to(
                 cols[:, None], (g.count, g.degree, tables.Z, B)

@@ -70,11 +70,14 @@ class MultiProcessStats:
     frames_with_errors: int
     frames_above_target: int
     max_frame_errors: int
+    num_iter_check_parity: int = 1  # k: BP iterations per superstep
 
     @property
     def iter_time_per_vector(self) -> float:
-        denom = self.total_supersteps and (
-            self.total_supersteps * self.batch_size)
+        # total iterations = supersteps * k (reference formula,
+        # ldpc_decoder_gpu.cu:628) — matches single-process DecodeStats
+        denom = (self.total_supersteps * self.num_iter_check_parity
+                 * self.batch_size)
         return self.elapsed_seconds / denom if denom else 0.0
 
 
@@ -215,5 +218,6 @@ def decode_multiprocess(
         frames_with_errors=int(g[:, 1].sum()),
         frames_above_target=int(g[:, 2].sum()),
         max_frame_errors=int(g[:, 3].max()),
+        num_iter_check_parity=k,
     )
     return loc_res, local_ids, stats

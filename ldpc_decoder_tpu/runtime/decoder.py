@@ -187,6 +187,7 @@ class LDPCDecoder:
                 self._init_messages = partial(
                     qg.init_messages_qc_grouped,
                     alg=self.params.algorithm,
+                    clamp=self.params.minsum_clamp,
                 )
             else:
                 self.tables = qct

@@ -9,6 +9,7 @@ def main():
     proc_id = int(sys.argv[1])
     num_procs = int(sys.argv[2])
     port = int(sys.argv[3])
+    devices_per_proc = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     from ldpc_decoder_tpu.parallel.multiprocess import (
         decode_multiprocess,
@@ -17,7 +18,7 @@ def main():
     )
 
     initialize(f"localhost:{port}", num_procs, proc_id,
-               cpu_devices_per_process=4)
+               cpu_devices_per_process=devices_per_proc)
 
     import numpy as np
 

@@ -156,7 +156,8 @@ def test_erasure_decode_end_to_end():
 
 
 def test_pre_from_infinity_threshold():
-    """The OpenCL-backend derivation phi(t)=2e^-t and the None default
+    """The OpenCL-backend derivation phi(t+1)=2e^-(t+1) (flood_vec2.cl
+    defines phi(c_threshold+1)=c_pre_threshold) and the None default
     (the CUDA backend's hard-coded 1e-5)."""
     import math
 
@@ -168,6 +169,6 @@ def test_pre_from_infinity_threshold():
 
     assert pre_from_infinity_threshold(None) == PRE_THRESHOLD
     pre10 = pre_from_infinity_threshold(10.0)
-    assert abs(pre10 - 2 * math.exp(-10)) < 1e-12
-    # flooring phi's input at phi(t) caps the output at ~t (self-inverse)
-    assert abs(float(phi_abs_np(1e-9, pre=pre10)) - 10.0) < 0.01
+    assert abs(pre10 - 2 * math.exp(-11)) < 1e-12
+    # flooring phi's input at phi(t+1) caps the output at ~t+1
+    assert abs(float(phi_abs_np(1e-9, pre=pre10)) - 11.0) < 0.01
