@@ -3,10 +3,19 @@
 φ_abs(x) = -log(tanh(x/2)) on R+, which is self-inverse; φ(x) applies it to
 |x| and carries the sign. Matches the reference's fp32 numerics
 (flood.cu:31-45): inputs are clamped below at ``pre_threshold = 1e-5``
-(bounding the output at ≈ 12.2) and the Taylor tail ``2·e^{-x}`` is used for
-x > 5. The main branch is computed directly as -log(tanh(x/2)), which keeps
-full fp32 relative accuracy even for tiny x (tanh(t) ≈ t), unlike the
-exp/expm1 formulation.
+(bounding the output at ≈ 12.2) and the Taylor tail ``2·e^{-x}`` is used
+for x > 5.
+
+The Taylor tail is LOAD-BEARING on TPU, not just reference parity: the
+v5e's hardware tanh is low-precision (rel err ~2e-5; tanh(x/2) saturates
+to exactly 1.0 for x >= ~11, measured on-device — scripts/micro_phi2.py
+round 3), so -log(tanh(x/2)) returns -0.0 there and decoding collapses
+(p41 at sigma 0.90: BER floors of 2e-5..7e-2 depending on the input cap).
+Hardware exp is exact, so the x > 5 branch must stay on 2e^{-x}. CPU
+tests cannot catch this (XLA:CPU's tanh is correctly rounded); removing
+the tail bought ~2 ms/iter of VPU time and broke the decoder — a
+measured dead end. So are polynomial/bit-trick reformulations of φ
+(1.5-3x slower than the hw transcendentals; ROADMAP dead-end table).
 
 Messages may be *stored* in bf16 (the TPU analog of the reference's fp16
 path, flood.cu:21-29) but φ is always evaluated in fp32 — bf16's 8-bit
@@ -51,7 +60,8 @@ def phi_abs(x: jnp.ndarray, pre: float = PRE_THRESHOLD) -> jnp.ndarray:
 
     NB: an exp+log reformulation (log((1+e^-x)/(1-e^-x))) was measured
     *slower* on v5e — its two VPU divisions cost more than the saved
-    transcendental — so the direct tanh form stays.
+    transcendental — so the direct tanh form stays. The x > 5 Taylor
+    branch is REQUIRED on TPU (module docstring: hw tanh saturates).
     """
     x32 = x.astype(jnp.float32)
     xm = jnp.clip(x32, jnp.float32(pre), jnp.float32(HIGH_THRESHOLD))

@@ -85,7 +85,10 @@ def _phi_abs_f32(x, high: float = HIGH_THRESHOLD,
                  pre: float = PRE_THRESHOLD):
     # same formula as ops/phi.py phi_abs (kept in lockstep so the
     # XLA-oracle equality tests stay exact); ``pre`` realizes the runtime
-    # infinity threshold (phi.pre_from_infinity_threshold)
+    # infinity threshold (phi.pre_from_infinity_threshold). The x > 5
+    # Taylor branch is REQUIRED on TPU: the v5e hw tanh saturates to 1.0
+    # for arguments >= ~5.5 (phi would return -0.0 and decoding floors;
+    # measured round 3, ops/phi.py docstring)
     xm = jnp.clip(x, jnp.float32(pre), jnp.float32(high))
     main = -jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
