@@ -207,8 +207,18 @@ def vn_update_qc(
     llr: jnp.ndarray,  # [C, Z, B] sorted col order
     tables: QCDecodeTables,
     phi_pre: float = PRE_THRESHOLD,
+    fresh=None,  # [B] bool: lane was just refilled — emit init values
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (new variable-order messages [nb, Z, B], totals [C, Z, B])."""
+    """Returns (new variable-order messages [nb, Z, B], totals [C, Z, B]).
+
+    ``fresh`` marks lanes whose message state is stale (the frame was
+    retired and the lane refilled with a new frame's LLRs but the edge
+    arrays were NOT re-initialized — the lane-reset refill scheme,
+    runtime/decoder.py). For those lanes the leave-one-out sum is replaced
+    by the bare channel LLR, which makes this update emit exactly the
+    init message φ(llr) — resetting the lane in-kernel instead of paying
+    a full init+merge pass over the edge arrays.
+    """
     msgs_out, totals_out = [], []
     col = 0
     for g in tables.col_groups:
@@ -228,7 +238,11 @@ def vn_update_qc(
             pre = lv[:, None]
         else:
             pre = totals[:, None] - r
+            if fresh is not None:
+                pre = jnp.where(fresh[None, None, None, :], lv[:, None], pre)
         m = jnp.copysign(phi_abs(jnp.abs(pre), phi_pre), pre).astype(r_v.dtype)
+        if fresh is not None:
+            totals = jnp.where(fresh[None, None, :], lv, totals)
         msgs_out.append(m.reshape(nbk, tables.Z, -1))
         totals_out.append(totals)
         col += g.count
@@ -331,6 +345,7 @@ def vn_update_qc_minsum(
     llr: jnp.ndarray,  # [C, Z, B] sorted col order
     tables: QCDecodeTables,
     clamp: float,
+    fresh=None,  # [B] bool: lane-reset refill (see vn_update_qc)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Min-sum variable update: plain leave-one-out sums, clamped."""
     msgs_out, totals_out = [], []
@@ -349,7 +364,11 @@ def vn_update_qc_minsum(
             pre = lv[:, None]
         else:
             pre = totals[:, None] - r
+            if fresh is not None:
+                pre = jnp.where(fresh[None, None, None, :], lv[:, None], pre)
         m = jnp.clip(pre, -clamp, clamp).astype(r_v.dtype)
+        if fresh is not None:
+            totals = jnp.where(fresh[None, None, :], lv, totals)
         msgs_out.append(m.reshape(nbk, tables.Z, -1))
         totals_out.append(totals)
         col += g.count
@@ -357,16 +376,16 @@ def vn_update_qc_minsum(
 
 
 def bp_iteration_qc(msgs, llr, syn, tables, alg="sum-product", beta=0.0,
-                    clamp=64.0, phi_pre=PRE_THRESHOLD):
+                    clamp=64.0, phi_pre=PRE_THRESHOLD, fresh=None):
     """One flood iteration in QC layout. msgs check-order [nb, Z, B]."""
     if alg == "min-sum":
         r_c = cn_update_qc_minsum(msgs, syn, tables, beta)
         r_v = cn_to_vn(r_c, tables)
-        m_v, totals = vn_update_qc_minsum(r_v, llr, tables, clamp)
+        m_v, totals = vn_update_qc_minsum(r_v, llr, tables, clamp, fresh)
     else:
         r_c = cn_update_qc(msgs, syn, tables, phi_pre)
         r_v = cn_to_vn(r_c, tables)
-        m_v, totals = vn_update_qc(r_v, llr, tables, phi_pre)
+        m_v, totals = vn_update_qc(r_v, llr, tables, phi_pre, fresh)
     return vn_to_cn(m_v, tables), totals
 
 
@@ -388,8 +407,14 @@ def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product",
 @partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
 def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
                       alg: str = "sum-product", beta: float = 0.0,
-                      clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD):
-    """2-D-interface twin of ops.decode.run_iterations."""
+                      clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD,
+                      fresh=None):
+    """2-D-interface twin of ops.decode.run_iterations.
+
+    ``fresh`` ([B] bool/int8 or None): lanes refilled since the last
+    superstep — their stale messages are reset in-kernel on the FIRST
+    iteration (vn_update_qc); iterations 2..k then run normally.
+    """
     B = msgs2d.shape[-1]
     Z = tables.Z
     msgs = msgs2d.reshape(tables.n_blocks, Z, B)
@@ -402,7 +427,13 @@ def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
                                phi_pre)
 
     totals0 = jnp.zeros_like(llr)
-    msgs, totals = jax.lax.fori_loop(0, k, body, (msgs, totals0))
+    if fresh is None:
+        msgs, totals = jax.lax.fori_loop(0, k, body, (msgs, totals0))
+    else:
+        fr = fresh.reshape(-1) != 0
+        msgs, totals = bp_iteration_qc(msgs, llr, syn, tables, alg, beta,
+                                       clamp, phi_pre, fresh=fr)
+        msgs, totals = jax.lax.fori_loop(1, k, body, (msgs, totals))
     bits = (~jnp.signbit(totals)).astype(jnp.int8)
     violated = parity_violations_qc(bits, syn, tables)
     return (

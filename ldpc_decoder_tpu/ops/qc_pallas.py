@@ -415,31 +415,39 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
 
 def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
                emit_bits: bool, alg: str, clamp: float, phi_high: float,
-               phi_pre: float):
+               phi_pre: float, with_fresh: bool = False):
     """Variable-node update (flood_forward) with rotated reads.
 
-    refs = d_v slots' r_c blocks, llr tile, then out refs
-    (msgs_v [1, d_v, T, B] and, when emit_bits, hard decisions
+    refs = d_v slots' r_c blocks, llr tile, (fresh [8, lb] f32), then out
+    refs (msgs_v [1, d_v, T, B] and, when emit_bits, hard decisions
     [1, T, B] int8 — the flood_forward_w_final_bits analog,
-    flood.cu:159-189).
+    flood.cu:159-189). ``with_fresh``: lane-reset refill — flagged lanes
+    emit init messages (see qc_pallas_grouped._vn_kernel_g).
     """
     rps = _refs_per_slot(seam)
     llr_ref = refs[rps * d_v]
-    out_msgs = refs[rps * d_v + 1]
-    out_bits = refs[rps * d_v + 2] if emit_bits else None
-    pair_scratch = refs[rps * d_v + 2 + (1 if emit_bits else 0)]
+    wf = 1 if with_fresh else 0
+    fresh_ref = refs[rps * d_v + 1] if with_fresh else None
+    out_msgs = refs[rps * d_v + 1 + wf]
+    out_bits = refs[rps * d_v + 2 + wf] if emit_bits else None
+    pair_scratch = refs[rps * d_v + 2 + wf + (1 if emit_bits else 0)]
     i = pl.program_id(0)
     r = [
         _window(refs, k, tab_ref, i, tile, seam, pair_scratch)
         for k in range(d_v)
     ]
-    total = llr_ref[0].astype(jnp.float32)
+    llr_t = llr_ref[0].astype(jnp.float32)
+    total = llr_t
     for x in r:
         total = total + x
+    fr = (fresh_ref[0:1, :] > 0.0) if with_fresh else None
     if emit_bits:
-        out_bits[0] = (~jnp.signbit(total)).astype(jnp.int8)
+        tb = jnp.where(fr, llr_t, total) if with_fresh else total
+        out_bits[0] = (~jnp.signbit(tb)).astype(jnp.int8)
     for k in range(d_v):
         pre = total - r[k]
+        if with_fresh:
+            pre = jnp.where(fr, llr_t, pre)
         if alg == "min-sum":
             out_msgs[0, k] = jnp.clip(pre, -clamp, clamp).astype(
                 out_msgs.dtype)
@@ -490,13 +498,15 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
 
 def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
             alg: str = "sum-product", clamp: float = 64.0,
-            phi_pre: float = PRE_THRESHOLD):
+            phi_pre: float = PRE_THRESHOLD, fresh8=None):
     """r_c [R, d_c, Z, B], llr3 [C, Z, B] -> msgs_v [C, d_v, Z, B]
-    (+ hard decisions [C, Z, B] int8 when emit_bits)."""
+    (+ hard decisions [C, Z, B] int8 when emit_bits). ``fresh8``
+    ([8, B] f32 or None): lane-reset refill (see _vn_kernel)."""
     T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
     NT = Z // T
     lb = _lane_block(B)
     rps = _refs_per_slot(tables.seam)
+    with_fresh = fresh8 is not None
     out_specs = [
         pl.BlockSpec(
             (1, tables.d_v, T, lb),
@@ -515,14 +525,19 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
         out_shape.append(
             jax.ShapeDtypeStruct((tables.C, Z, B), jnp.int8)
         )
+    in_specs = _rot_in_specs(tables.d_v, T, NT, lb, tables.seam) + [
+        pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [*([r_c] * (rps * tables.d_v)), llr3]
+    if with_fresh:
+        in_specs.append(pl.BlockSpec((8, lb), lambda i, j, l, *_: (0, l),
+                                     memory_space=pltpu.VMEM))
+        operands.append(fresh8)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tables.C, NT, B // lb),
-        in_specs=_rot_in_specs(tables.d_v, T, NT, lb, tables.seam)
-        + [
-            pl.BlockSpec((1, T, lb), lambda i, j, l, *_: (i, j, l),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(
@@ -533,12 +548,13 @@ def vn_pass(r_c, llr3, tables: QCPallasTables, emit_bits: bool = True,
     out = pl.pallas_call(
         partial(_vn_kernel, d_v=tables.d_v, tile=T, seam=tables.seam,
                 emit_bits=emit_bits, alg=alg, clamp=clamp,
-                phi_high=_phi_high(r_c.dtype), phi_pre=phi_pre),
+                phi_high=_phi_high(r_c.dtype), phi_pre=phi_pre,
+                with_fresh=with_fresh),
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=_compiler_params(3),
         interpret=_interpret(),
-    )(tables.vn_read, *([r_c] * (rps * tables.d_v)), llr3)
+    )(tables.vn_read, *operands)
     return out if emit_bits else (out[0], None)
 
 
@@ -566,13 +582,18 @@ def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
 def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
                              k: int, alg: str = "sum-product",
                              beta: float = 0.0, clamp: float = 64.0,
-                             phi_pre: float = PRE_THRESHOLD):
+                             phi_pre: float = PRE_THRESHOLD,
+                             fresh=None):
     """2-D-interface twin of ops.decode.run_iterations (msgs in VN layout).
 
     The k-iteration superstep: k-1 light iterations (messages only), then a
     final iteration that also emits int8 hard decisions (consumed only every
     k iterations — emitting f32 totals each iteration would waste an
     n_vars-sized HBM pass), then the fused parity kernel.
+
+    ``fresh`` ([B] bool/int8 or None): lane-reset refill — flagged lanes
+    carry a retired frame's messages; the first iteration's VN emits init
+    values for them (runtime/decoder.py).
     """
     B = msgs2d.shape[-1]
     Z, C, R = tables.Z, tables.C, tables.R
@@ -592,10 +613,22 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
                         clamp=clamp, phi_pre=phi_pre)
         return m2
 
-    msgs = jax.lax.fori_loop(0, k - 1, body, msgs)
+    fresh8 = None
+    if fresh is not None:
+        fresh8 = jnp.broadcast_to(
+            (fresh.reshape(-1) != 0).astype(jnp.float32)[None, :], (8, B))
+    lo = 0
+    if fresh is not None and k > 1:
+        r_c = cn_pass(msgs, syn, tables, alg, beta, phi_pre)
+        msgs, _ = vn_pass(r_c, llr, tables, emit_bits=False, alg=alg,
+                          clamp=clamp, phi_pre=phi_pre, fresh8=fresh8)
+        lo = 1
+    msgs = jax.lax.fori_loop(lo, k - 1, body, msgs)
     r_c = cn_pass(msgs, syn, tables, alg, beta, phi_pre)
-    msgs, bits = vn_pass(r_c, llr, tables, emit_bits=True, alg=alg,
-                         clamp=clamp, phi_pre=phi_pre)
+    msgs, bits = vn_pass(
+        r_c, llr, tables, emit_bits=True, alg=alg, clamp=clamp,
+        phi_pre=phi_pre,
+        fresh8=fresh8 if (fresh is not None and k == 1) else None)
     violated = parity_pass(bits, syn, tables)
     return (
         msgs.reshape(tables.n_edges, B),

@@ -318,28 +318,42 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
 
 def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
                  emit_bits: bool, alg: str, clamp: float, block_start: int,
-                 phi_pre: float = PRE_THRESHOLD):
+                 phi_pre: float = PRE_THRESHOLD, with_fresh: bool = False):
     """Grouped variable-node update; refs = d slots, llr, prev-alias (ANY),
-    out msgs [d, T, lb], (bits [1, T, lb]), scratch."""
+    (fresh [8, lb] f32), out msgs [d, T, lb], (bits [1, T, lb]), scratch.
+
+    ``with_fresh``: lane-reset refill — lanes flagged in the fresh operand
+    emit the init message φ(llr)/clip(llr) (their carried state is a
+    retired frame's; see runtime/decoder.py lane-reset refill)."""
     r = _rps(seam)
     llr_ref = refs[r * d]
-    out_msgs = refs[r * d + 2]
-    out_bits = refs[r * d + 3] if emit_bits else None
-    scratch = refs[r * d + 3 + (1 if emit_bits else 0)]
+    wf = 1 if with_fresh else 0
+    fresh_ref = refs[r * d + 2] if with_fresh else None
+    out_msgs = refs[r * d + 2 + wf]
+    out_bits = refs[r * d + 3 + wf] if emit_bits else None
+    scratch = refs[r * d + 3 + wf + (1 if emit_bits else 0)]
     i = pl.program_id(0)
     w = [_window_flat(refs, k, tab_ref, block_start, i, d, tile, seam,
                       scratch) for k in range(d)]
-    total = llr_ref[0].astype(jnp.float32)
+    llr_t = llr_ref[0].astype(jnp.float32)
+    total = llr_t
     for x in w:
         total = total + x
+    fr = (fresh_ref[0:1, :] > 0.0) if with_fresh else None
     if emit_bits:
-        out_bits[0] = (~jnp.signbit(total)).astype(jnp.int8)
+        tb = jnp.where(fr, llr_t, total) if with_fresh else total
+        out_bits[0] = (~jnp.signbit(tb)).astype(jnp.int8)
     for k in range(d):
         # sole edge: leave-one-out = channel LLR exactly (not total - w,
         # which can differ in low-order bits when llr + r rounds) — keeps
         # emit iterations bit-identical to the launch-skipped ones and to
         # the oracle's d==1 special case (qc_decode.vn_update_qc)
-        pre = llr_ref[0].astype(jnp.float32) if d == 1 else total - w[k]
+        if d == 1:
+            pre = llr_t
+        else:
+            pre = total - w[k]
+            if with_fresh:
+                pre = jnp.where(fr, llr_t, pre)
         if alg == "min-sum":
             out_msgs[k] = jnp.clip(pre, -clamp, clamp).astype(
                 out_msgs.dtype)
@@ -432,25 +446,48 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
 
 def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
                     emit_bits: bool, alg: str = "sum-product",
-                    clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD):
+                    clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD,
+                    fresh8=None, include_d1: bool = False):
     """r_c [nb, Z, B] -> msgs_v [nb, Z, B] (+ per-group bits concat
-    [C, Z, B] int8 when emit_bits); msgs_prev donated."""
+    [C, Z, B] int8 when emit_bits); msgs_prev donated.
+
+    ``fresh8`` ([8, B] f32, >0 = lane freshly refilled): lane-reset —
+    fresh lanes emit init messages (kernel docstring). ``include_d1``
+    runs the degree-1 groups even on non-emit iterations (their output
+    φ(llr) depends only on llr, which changes at refill — one launch on
+    the first iteration after a refill refreshes them for ALL lanes)."""
     T, Z, B = tables.tile, tables.Z, r_c.shape[-1]
     NT = Z // T
     lb = _lane_block(B)
     rps = _rps(tables.seam)
+    with_fresh = fresh8 is not None
     msgs = msgs_prev
     bits_parts = []
     for g in tables.col_groups:
         d = g.degree
-        if d == 1 and not emit_bits:
+        if d == 1 and not emit_bits and not include_d1:
             # a degree-1 variable's outgoing message is φ(total - r) =
             # φ(llr): constant across iterations — its blocks were
             # initialized to exactly that (init_messages_qc_grouped) and
             # the aliased carry preserves them, so skip the launch (and
             # its read+write of the whole group) on non-emit iterations.
-            # Emit iterations still run it for the hard decisions.
+            # Emit iterations (and the first iteration after a refill,
+            # include_d1) still run it.
             continue
+        in_specs = _rot_specs_flat(d, T, NT, lb, tables.seam,
+                                   g.block_start) + [
+            pl.BlockSpec(
+                (1, T, lb),
+                lambda i, j, l, *_, _ns=g.node_start: (_ns + i, j, l),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # alias target
+        ]
+        operands = [*([r_c] * (rps * d)), llr3, msgs]
+        if with_fresh:
+            in_specs.append(
+                pl.BlockSpec((8, lb), lambda i, j, l, *_: (0, l),
+                             memory_space=pltpu.VMEM))
+            operands.append(fresh8)
         out_specs = [
             pl.BlockSpec(
                 (d, T, lb),
@@ -469,15 +506,7 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(g.count, NT, B // lb),
-            in_specs=_rot_specs_flat(d, T, NT, lb, tables.seam,
-                                     g.block_start)
-            + [
-                pl.BlockSpec(
-                    (1, T, lb),
-                    lambda i, j, l, *_, _ns=g.node_start: (_ns + i, j, l),
-                    memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pl.ANY),  # alias target
-            ],
+            in_specs=in_specs,
             out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((d, _scratch_rows(T, tables.seam), lb),
@@ -487,7 +516,8 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
         out = pl.pallas_call(
             partial(_vn_kernel_g, d=d, tile=T, seam=tables.seam,
                     emit_bits=emit_bits, alg=alg, clamp=clamp,
-                    block_start=g.block_start, phi_pre=phi_pre),
+                    block_start=g.block_start, phi_pre=phi_pre,
+                    with_fresh=with_fresh),
             grid_spec=grid_spec,
             out_shape=out_shape,
             input_output_aliases={
@@ -495,7 +525,7 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
             },
             compiler_params=_compiler_params(3),
             interpret=_interpret(),
-        )(tables.vn_read, *([r_c] * (rps * d)), llr3, msgs)
+        )(tables.vn_read, *operands)
         if emit_bits:
             msgs, bits_g = out
             bits_parts.append(bits_g)
@@ -592,13 +622,20 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
                               tables: GroupedQCPallasTables, k: int,
                               alg: str = "sum-product", beta: float = 0.0,
                               clamp: float = 64.0,
-                              phi_pre: float = PRE_THRESHOLD):
+                              phi_pre: float = PRE_THRESHOLD,
+                              fresh=None):
     """2-D-interface twin of run_iterations_qc_pallas for irregular bases.
 
     ``msgs2d`` is the (msgs_v, r_c) pair from init_messages_qc_grouped;
     both edge-sized buffers are carried across supersteps and recycled
     in place by the per-group aliased writes — no fresh allocations or
     zero-fills anywhere in the loop.
+
+    ``fresh`` ([B] bool/int8 or None): lane-reset refill — flagged lanes
+    carry a RETIRED frame's message state; the first iteration's VN pass
+    emits init values for them (and refreshes the degree-1 groups, whose
+    launches are otherwise skipped), so the runtime never touches the
+    edge arrays at refill (runtime/decoder.py).
     """
     msgs2d, rc2d = msgs2d
     B = msgs2d.shape[-1]
@@ -615,10 +652,24 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
                                alg=alg, clamp=clamp, phi_pre=phi_pre)
         return m, rc
 
-    msgs, r_c = jax.lax.fori_loop(0, k - 1, body, (msgs, r_c0))
+    fresh8 = None
+    if fresh is not None:
+        fresh8 = jnp.broadcast_to(
+            (fresh.reshape(-1) != 0).astype(jnp.float32)[None, :], (8, B))
+    lo = 0
+    r_c = r_c0
+    if fresh is not None and k > 1:
+        r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta, phi_pre)
+        msgs, _ = vn_pass_grouped(r_c, llr, msgs, tables, emit_bits=False,
+                                  alg=alg, clamp=clamp, phi_pre=phi_pre,
+                                  fresh8=fresh8, include_d1=True)
+        lo = 1
+    msgs, r_c = jax.lax.fori_loop(lo, k - 1, body, (msgs, r_c))
     r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta, phi_pre)
-    msgs, bits = vn_pass_grouped(r_c, llr, msgs, tables, emit_bits=True,
-                                 alg=alg, clamp=clamp, phi_pre=phi_pre)
+    msgs, bits = vn_pass_grouped(
+        r_c, llr, msgs, tables, emit_bits=True, alg=alg, clamp=clamp,
+        phi_pre=phi_pre,
+        fresh8=fresh8 if (fresh is not None and k == 1) else None)
     violated = parity_pass_grouped(bits, syn, tables)
     return (
         (msgs.reshape(tables.nbv_pad * Z, B),

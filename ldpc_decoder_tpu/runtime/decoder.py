@@ -55,6 +55,9 @@ class DecodeState(NamedTuple):
     supersteps: jnp.ndarray  # [] int32 supersteps executed
     results: jnp.ndarray     # [N+1, n_words] uint32 packed decoded bits
     iters_out: jnp.ndarray   # [N+1] int32 iterations used per frame
+    fresh: jnp.ndarray       # [B] int8: lane refilled since last superstep
+    #                          (its msgs are stale — reset in-kernel on the
+    #                          next superstep's first iteration)
 
 
 @dataclass
@@ -349,20 +352,38 @@ class LDPCDecoder:
                 jnp.where(lane, syn_new, state_syn),
             )
 
+        import inspect
+
+        try:
+            supports_fresh = "fresh" in inspect.signature(
+                self._run_iterations).parameters
+        except (TypeError, ValueError):
+            supports_fresh = False
+
         def superstep(state: DecodeState, pool_values, pool_syn):
+            extra = {"fresh": state.fresh} if supports_fresh else {}
             msgs, bits, violated = self._run_iterations(
                 state.msgs, state.llr, state.syn, tables, k,
-                phi_pre=phi_pre,
+                phi_pre=phi_pre, **extra,
             )
             iters_done = state.iters_done + k
             done = state.active & (~violated | (iters_done >= max_iter))
 
-            # retire: pack + scatter results/iteration counts
-            packed = _pack_bits_natural(bits, tables.vn_pos, n_words,
-                                        block_perm, blk_Z)
-            rows = jnp.where(done, state.frame_ids, n_pool)
-            results = state.results.at[rows].set(packed)
-            iters_out = state.iters_out.at[rows].set(iters_done)
+            # retire: pack + scatter results/iteration counts — gated
+            # on-device so supersteps where nothing finished (the common
+            # case before the waterfall) skip the MXU pack entirely
+            def _retire(op):
+                results0, iters_out0 = op
+                packed = _pack_bits_natural(bits, tables.vn_pos, n_words,
+                                            block_perm, blk_Z)
+                rows = jnp.where(done, state.frame_ids, n_pool)
+                return (results0.at[rows].set(packed),
+                        iters_out0.at[rows].set(iters_done))
+
+            results, iters_out = jax.lax.cond(
+                jnp.any(done), _retire, lambda op: op,
+                (state.results, state.iters_out),
+            )
 
             # refill from pool
             order = jnp.cumsum(done.astype(jnp.int32)) - done.astype(jnp.int32)
@@ -373,45 +394,69 @@ class LDPCDecoder:
             pool_next = state.pool_next + jnp.sum(done.astype(jnp.int32))
             pool_next = jnp.minimum(pool_next, n_pool)
 
-            # refill is several full passes over the message state; gate it
-            # on-device so supersteps where no lane finished skip the work
-            # entirely (the reference's host scheduler does the analogous
-            # skip by branching on num_new, ldpc_decoder_gpu.cu:464)
-            def _refill(op):
-                llr0, syn0, msgs0 = op
-                llr, syn = load_lanes(
-                    pool_values, pool_syn, frame_ids, has_new, llr0, syn0
-                )
-                fresh = self._init_messages(llr, tables, dtype=msg_dtype,
-                                            phi_pre=phi_pre)
-                # message state may be a pytree; refill each leaf
-                # lane-masked. The grouped path's second leaf is the
-                # carried r_c buffer whose contents are fully rewritten by
-                # the next CN pass before any read — keep the old buffer
-                # and skip merging ~an edge-array of traffic per refill.
-                if (isinstance(fresh, tuple) and len(fresh) == 2
-                        and isinstance(msgs0, tuple)):
-                    merged = (
-                        jnp.where(has_new[None, :], fresh[0], msgs0[0]),
-                        msgs0[1],
-                    )
-                else:
-                    merged = jax.tree.map(
-                        lambda f, o: jnp.where(has_new[None, :], f, o),
-                        fresh, msgs0)
-                return llr, syn, merged
+            # gate the refill on-device so supersteps where no lane
+            # finished skip the work entirely (the reference's host
+            # scheduler does the analogous skip by branching on num_new,
+            # ldpc_decoder_gpu.cu:464)
+            if supports_fresh:
+                # lane-reset refill: only the node-sized llr/syn state is
+                # touched; the edge-sized message arrays keep the retired
+                # frame's data and the NEXT superstep's first VN pass
+                # emits init values for the flagged lanes in-kernel
+                # (run_iterations_*'s ``fresh``) — saves ~4 edge-array
+                # passes (init + masked merge) per refill. Cost: the
+                # flagged lane's first iteration reads stale messages and
+                # is a wash (its k iterations deliver k-1 real ones).
+                def _refill(op):
+                    llr0, syn0 = op
+                    return load_lanes(pool_values, pool_syn, frame_ids,
+                                      has_new, llr0, syn0)
 
-            llr, syn, msgs = jax.lax.cond(
-                jnp.any(has_new), _refill, lambda op: op,
-                (state.llr, state.syn, msgs),
-            )
+                llr, syn = jax.lax.cond(
+                    jnp.any(has_new), _refill, lambda op: op,
+                    (state.llr, state.syn),
+                )
+                fresh_next = has_new.astype(jnp.int8)
+            else:
+                def _refill(op):
+                    llr0, syn0, msgs0 = op
+                    llr, syn = load_lanes(
+                        pool_values, pool_syn, frame_ids, has_new, llr0,
+                        syn0
+                    )
+                    fresh = self._init_messages(llr, tables,
+                                                dtype=msg_dtype,
+                                                phi_pre=phi_pre)
+                    # message state may be a pytree; refill each leaf
+                    # lane-masked. The grouped path's second leaf is the
+                    # carried r_c buffer whose contents are fully
+                    # rewritten by the next CN pass before any read —
+                    # keep the old buffer and skip merging ~an edge-array
+                    # of traffic per refill.
+                    if (isinstance(fresh, tuple) and len(fresh) == 2
+                            and isinstance(msgs0, tuple)):
+                        merged = (
+                            jnp.where(has_new[None, :], fresh[0], msgs0[0]),
+                            msgs0[1],
+                        )
+                    else:
+                        merged = jax.tree.map(
+                            lambda f, o: jnp.where(has_new[None, :], f, o),
+                            fresh, msgs0)
+                    return llr, syn, merged
+
+                llr, syn, msgs = jax.lax.cond(
+                    jnp.any(has_new), _refill, lambda op: op,
+                    (state.llr, state.syn, msgs),
+                )
+                fresh_next = jnp.zeros_like(state.fresh)
             iters_done = jnp.where(done, 0, iters_done)
 
             return DecodeState(
                 msgs=msgs, llr=llr, syn=syn, frame_ids=frame_ids,
                 iters_done=iters_done, active=active, pool_next=pool_next,
                 supersteps=state.supersteps + 1,
-                results=results, iters_out=iters_out,
+                results=results, iters_out=iters_out, fresh=fresh_next,
             )
 
         return superstep
@@ -685,6 +730,7 @@ class LDPCDecoder:
             supersteps=jnp.asarray(0, jnp.int32),
             results=jnp.zeros((n_pool + 1, self.n_words), jnp.uint32),
             iters_out=jnp.zeros(n_pool + 1, jnp.int32),
+            fresh=jnp.zeros(b, jnp.int8),
         )
 
     # ------------------------------------------------------------------

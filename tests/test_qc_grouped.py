@@ -130,3 +130,48 @@ def test_p41_base_grouped_matches_xla():
                            min_girth=4)
     ch = BIAWGNChannel(0.8)
     _check_equivalence(code, s, ch, ks=(1, 4))
+
+
+def test_grouped_fresh_lane_reset_matches_xla():
+    """The lane-reset refill path (run_iterations ``fresh``): flagged
+    lanes carry a STALE message state and must be reset in-kernel to the
+    init values on the first iteration — bit-identical between the
+    grouped Pallas kernels and the XLA oracle, and equal to decoding the
+    fresh lane from a true init state."""
+    from ldpc_decoder_tpu.codes.protographs import P41_BASE, prelift_base
+
+    big = prelift_base(P41_BASE, m=4, seed=0)
+    code, s = make_qc_code(big, Z=128, seed=6, coarse=32, fine_mod=8,
+                           min_girth=4)
+    ch = BIAWGNChannel(0.8)
+    dec_pl, dec_xla = _decoders(code, s, ch)
+    n = 8
+    batch = create_data(code, ch, 0, n)
+    t = dec_pl.tables
+    llr2d = jnp.asarray(
+        ch.llr_np(batch.values)[np.asarray(t.vn_order)][:, :n])
+    syn2d = jnp.asarray(batch.syndromes[np.asarray(t.cn_order)][:, :n])
+    rng = np.random.default_rng(3)
+    fresh = jnp.asarray((rng.random(n) < 0.5).astype(np.int8))
+
+    # stale state: init for a DIFFERENT llr (a retired frame's state)
+    m_pl = dec_pl._init_messages(-2.0 * llr2d + 1.0, t)
+    m_xla = dec_xla._init_messages(-2.0 * llr2d + 1.0, dec_xla.tables)
+    for k in (1, 3):
+        _, bits_pl, viol_pl = dec_pl._run_iterations(
+            m_pl, llr2d, syn2d, t, k, fresh=fresh)
+        _, bits_xla, viol_xla = dec_xla._run_iterations(
+            m_xla, llr2d, syn2d, dec_xla.tables, k, fresh=fresh)
+        np.testing.assert_array_equal(
+            np.asarray(bits_pl), np.asarray(bits_xla))
+        np.testing.assert_array_equal(
+            np.asarray(viol_pl), np.asarray(viol_xla))
+
+    # a fully-fresh lane after k iterations == a true-init lane after
+    # k-1 iterations (the reset lane's first iteration is the reset)
+    all_fresh = jnp.ones(n, jnp.int8)
+    _, bits_a, _ = dec_pl._run_iterations(
+        m_pl, llr2d, syn2d, t, 3, fresh=all_fresh)
+    m_true = dec_pl._init_messages(llr2d, t)
+    _, bits_b, _ = dec_pl._run_iterations(m_true, llr2d, syn2d, t, 2)
+    np.testing.assert_array_equal(np.asarray(bits_a), np.asarray(bits_b))
