@@ -489,22 +489,27 @@ class LDPCDecoder:
     def _full_decode_fn(self, k: int, max_iter: int, n_pool: int,
                         phi_pre: float = PRE_THRESHOLD,
                         input_is_llr: bool = False):
-        """Fused driver: the whole decode as one on-device while_loop —
-        zero host round-trips until the results come back."""
+        """Fused driver: state init + the whole decode as one on-device
+        while_loop in a SINGLE dispatch — zero host round-trips until the
+        results come back (the init was previously dispatched eagerly:
+        ~30 ops incl. an edge-sized message build, tens of ms of
+        dispatch/traffic inside the timed region)."""
         key = ("fused", k, max_iter, n_pool, phi_pre, input_is_llr)
         if key in self._superstep_cache:
             return self._superstep_cache[key]
         core = self._build_superstep(k, max_iter, n_pool, phi_pre,
                                      input_is_llr)
 
-        def run(state, pool_values, pool_syn):
+        def run(pool_values, pool_syn):
+            state = self._init_state(pool_values, pool_syn, n_pool,
+                                     phi_pre, input_is_llr)
             return jax.lax.while_loop(
                 lambda s: self._n_remaining(s, n_pool) > 0,
                 lambda s: core(s, pool_values, pool_syn),
                 state,
             )
 
-        fn = jax.jit(run, donate_argnums=(0,))
+        fn = jax.jit(run)
         self._superstep_cache[key] = fn
         return fn
 
@@ -794,10 +799,10 @@ class LDPCDecoder:
         k = dyn_params.num_iter_check_parity
         max_iter = dyn_params.num_iter_max
         phi_pre = pre_from_infinity_threshold(dyn_params.infinity_threshold)
-        state = self._init_state(pool_values, pool_syn, n_vecs, phi_pre,
-                                 input_is_llr)
 
         if host_poll:
+            state = self._init_state(pool_values, pool_syn, n_vecs,
+                                     phi_pre, input_is_llr)
             superstep = self._superstep_fn(k, max_iter, n_vecs, phi_pre,
                                            input_is_llr)
             t0 = time.perf_counter()
@@ -814,7 +819,7 @@ class LDPCDecoder:
             run = self._full_decode_fn(k, max_iter, n_vecs, phi_pre,
                                        input_is_llr)
             t0 = time.perf_counter()
-            state = run(state, pool_values, pool_syn)
+            state = run(pool_values, pool_syn)
             jax.block_until_ready(state.results)
             elapsed = time.perf_counter() - t0
 
