@@ -80,8 +80,17 @@ def get_reg36_code():
 
 
 def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
-              check_period=10):
-    """Decode n_frames at sigma; returns (dec_mbps, e2e_mbps, stats dict)."""
+              check_period=10, hostfed=False):
+    """Decode n_frames at sigma; returns (dec_mbps, e2e_mbps, stats dict).
+
+    ``hostfed``: additionally decode the SAME pool through the host-data
+    entry point ``decode()`` — frames uploaded from host numpy and results
+    read back — timing the full round trip. This is the reference's own
+    end-to-end definition (its 159.456 Mb/s includes every frame's
+    host->device LLR/syndrome upload and the result readback,
+    ldpc_decoder_gpu.cu:218-273); the on-device-datagen e2e number has
+    nothing to transfer, so this is the apples-to-apples companion.
+    """
     from ldpc_decoder_tpu.channels import BIAWGNChannel
     from ldpc_decoder_tpu.runtime.datagen_device import (
         count_bit_errors,
@@ -136,6 +145,60 @@ def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
         "B": B,
         "n": n,
     }
+
+    # auditable HBM-traffic accounting (runtime/perf.py): exact
+    # bytes/iteration for this code's tables -> achieved GB/s from the
+    # measured per-iteration time. The platform DMA floor reference is
+    # the phi-stubbed kernel measurement (scripts/micro_phi.py: 607 GB/s
+    # at B=256, recorded in ROADMAP.md round 3).
+    try:
+        from ldpc_decoder_tpu.runtime import perf as _perf
+        from ldpc_decoder_tpu.ops.qc_pallas_grouped import (
+            GroupedQCPallasTables,
+        )
+
+        msg_bytes = {"bfloat16": 2, "float8_e5m2": 1}.get(dtype, 4)
+        if isinstance(dec.tables, GroupedQCPallasTables):
+            bpi = _perf.grouped_bytes_per_iter(dec.tables, B, msg_bytes)
+        else:
+            bpi = _perf.regular_bytes_per_iter(dec.tables, B, msg_bytes)
+        out["bytes_per_iter"] = bpi
+        out["achieved_gbps"] = round(bpi / (itpv * B) / 1e9, 1)
+        log(f"HBM traffic: {bpi/1e9:.2f} GB/iter -> achieved "
+            f"{out['achieved_gbps']} GB/s (phi-stub DMA floor ~607 GB/s, "
+            f"scripts/micro_phi.py)")
+    except Exception as e:
+        log(f"traffic accounting skipped: {type(e).__name__}: {e}")
+
+    if hostfed:
+        # natural-order host copies (the un-permuted layout an external
+        # producer would hand the decoder: h/ldpc_decoder_gpu.h:94).
+        # Frame count is capped: the axon tunnel moves host<->device data
+        # at ~30-95 MB/s up / ~3-13 MB/s down (measured round 3) vs the
+        # reference's PCIe 3.0 x16 (~12 GB/s), so this datapoint is
+        # LINK-bound here by ~2 orders of magnitude — reported measured,
+        # with the link speed alongside for context.
+        nh = min(n, int(os.environ.get("BENCH_HOSTFED_FRAMES", "64")))
+        vn_order = np.asarray(dec.cc.vn_order)
+        cn_order = np.asarray(dec.cc.cn_order)
+        vals_nat = np.empty((code.n_vars, nh), np.float32)
+        vals_nat[vn_order] = np.asarray(pool.values_sorted[:, :nh])
+        syn_nat = np.empty((code.n_checks, nh), np.int8)
+        syn_nat[cn_order] = np.asarray(pool.syn_sorted[:, :nh])
+        _ = dec.decode(dyn, nh, vals_nat, syn_nat)  # warm/compile path
+        t0 = time.perf_counter()
+        res_h, st_h = dec.decode(dyn, nh, vals_nat, syn_nat)
+        wall = time.perf_counter() - t0
+        # sanity: host-fed results must equal the device-pool results
+        same = np.array_equal(np.asarray(results[:4]), res_h[:4])
+        out["e2e_hostfed_mbps"] = round(
+            (frame_bits * nh / 1048576.0) / wall, 2)
+        out["e2e_hostfed_frames"] = nh
+        log(f"host-fed e2e (upload + decode + readback, {nh} frames, "
+            f"results match device path: {same}): "
+            f"{out['e2e_hostfed_mbps']} Mb/s over {wall:.2f}s — "
+            f"tunnel-link-bound (~30-95 MB/s up vs reference's PCIe "
+            f"~12 GB/s; reference e2e 159.456 Mb/s, README.md:103)")
     log(
         f"decode: {out['elapsed']:.2f}s, iters avg/max/min = "
         f"{out['avg_iters']}/{out['max_iters']}/{out['min_iters']}, "
@@ -158,17 +221,33 @@ def main():
     code, qc = get_code()
     # the tunneled chip can transiently report RESOURCE_EXHAUSTED right
     # after a previous TPU process exits (see CLAUDE.md); retry once
+    hostfed = os.environ.get("BENCH_HOSTFED", "1") != "0"
     for attempt in (1, 2):
         try:
             dec_mbps, e2e_mbps, st = run_point(
                 code, qc, sigma, dtype, alg, n_frames,
-                check_period=check_period)
+                check_period=check_period, hostfed=hostfed)
             break
         except Exception as e:
             if attempt == 2 or "RESOURCE_EXHAUSTED" not in str(e):
                 raise
             log(f"transient device error, retrying in 60s: {e}")
             time.sleep(60)
+
+    if os.environ.get("BENCH_FERMATCHED", "1") != "0":
+        try:
+            # throughput at p41's FER-matched point: sigma 0.952 is where
+            # THIS code's FER (~0.023, round-2 measurement) is comparable
+            # to the reference's 0.047 at ITS operating point — the
+            # equal-reliability throughput comparison (VERDICT r2 #5b)
+            mb_fm, _, st_fm = run_point(code, qc, 0.952, dtype, alg,
+                                        n_frames,
+                                        check_period=check_period)
+            log(f"FER-matched point (sigma 0.952): {mb_fm:.1f} Mb/s at "
+                f"FER(>0) {st_fm['fer1']:.4f} (reference: 200.276 Mb/s at "
+                f"FER 0.047), {mb_fm / BASELINE_MBPS:.2f}x baseline")
+        except Exception as e:
+            log(f"FER-matched point skipped: {type(e).__name__}: {e}")
 
     if os.environ.get("BENCH_SECONDARY", "1") != "0":
         import gc
@@ -205,6 +284,15 @@ def main():
         "avg_iters": st["avg_iters"],
         "ref_fer1": 0.046875,
         "ref_avg_iters": 90.7148,
+        # auditable roofline fields (runtime/perf.py; VERDICT r2 weak #2):
+        # measured_dma_floor_gbps is the phi-stubbed kernel speed from
+        # scripts/micro_phi.py (ROADMAP.md round-3 profile)
+        "bytes_per_iter": st.get("bytes_per_iter"),
+        "achieved_gbps": st.get("achieved_gbps"),
+        "measured_dma_floor_gbps": 607,
+        # host-fed end-to-end: upload + decode + readback through
+        # decode(), the reference's transfer-inclusive definition
+        "e2e_hostfed_mbps": st.get("e2e_hostfed_mbps"),
     }))
 
 
