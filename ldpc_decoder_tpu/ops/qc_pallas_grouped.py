@@ -258,7 +258,12 @@ def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
     kernels keep all d window values live across the whole node update, and
     re-slicing one shared region after it was overwritten for the next slot
     is a WAR hazard once Mosaic defers the dynamic-offset loads (observed
-    as slow state corruption on v5e with bf16 inputs)."""
+    as slow state corruption on v5e with bf16 inputs).
+
+    The scratch must stay fp32: a bf16 scratch (half the VMEM staging
+    bytes) fails Mosaic compilation — packed-bf16 dynamic sublane slices
+    need offsets provably multiple of 8, and the fine rotation offsets
+    are arbitrary (measured round 3; ROADMAP dead-end table)."""
     if seam:
         main, halo = refs[2 * k], refs[2 * k + 1]
         scratch[k, seam : seam + tile, :] = main[0].astype(jnp.float32)

@@ -212,6 +212,10 @@ class LDPCDecoder:
             "bfloat16": jnp.bfloat16,
             "float8_e5m2": jnp.float8_e5m2,
         }.get(self.params.message_dtype, jnp.float32)
+        # LLR-state storage dtype (see _init_state)
+        self._llr_dtype = (jnp.bfloat16
+                           if jnp.dtype(self.msg_dtype).itemsize == 1
+                           else self.msg_dtype)
         self.n_words = (self.code.n_vars + 31) // 32
         self._parallel_factor = self._choose_parallel_factor()
         self._superstep_cache: dict[tuple[int, int, int], callable] = {}
@@ -345,6 +349,7 @@ class LDPCDecoder:
             llr_new = (vals if input_is_llr
                        else self.channel.llr_from_channel(vals))
             llr_new = jnp.where(tables.erased_mask_sorted, 0.0, llr_new)
+            llr_new = llr_new.astype(state_llr.dtype)
             syn_new = jnp.take(pool_syn, safe, axis=1)
             lane = fresh[None, :]
             return (
@@ -721,6 +726,13 @@ class LDPCDecoder:
         vals = jnp.take(pool_values, safe, axis=1)
         llr = vals if input_is_llr else self.channel.llr_from_channel(vals)
         llr = jnp.where(self.tables.erased_mask_sorted, 0.0, llr)
+        # store LLR state in the kernels' consumption dtype: they cast it
+        # per superstep anyway (~2.5 ms of pure conversion traffic per
+        # superstep at 10^6 x 256 if left fp32), and rounding once here
+        # is bit-identical to rounding the same fp32 values every
+        # superstep. fp8 messages keep bf16 LLRs (channel values need
+        # more mantissa than saturating messages — qc_pallas comment).
+        llr = llr.astype(self._llr_dtype)
         syn = jnp.take(pool_syn, safe, axis=1)
         msgs = self._init_messages(llr, self.tables, dtype=self.msg_dtype,
                                    phi_pre=phi_pre)

@@ -22,7 +22,10 @@ class StaticParams:
     # reference's CUDA fp16 build option, CMakeLists.txt:13-15), or
     # "float8_e5m2" (experimental: halves message traffic again; φ is
     # clamped at the reference's infinity threshold 10 so messages stay
-    # normal fp8 values)
+    # normal fp8 values). NB float8_e5m2 is numerically correct but
+    # measured NET SLOWER than bfloat16 on v5e (no native fp8 VPU — the
+    # conversions cost more than the saved bandwidth; ROADMAP dead-end
+    # table): a construction-time warning flags the trap.
     message_dtype: str = "float32"
     # fraction of device memory kept free (reference reserves 10%,
     # ldpc_decoder_gpu.cu:84-88)
@@ -41,6 +44,23 @@ class StaticParams:
     minsum_offset: float = 0.5
     # symmetric LLR clamp applied to min-sum variable messages
     minsum_clamp: float = 64.0
+
+    def __post_init__(self):
+        valid = ("float32", "bfloat16", "float8_e5m2")
+        if self.message_dtype not in valid:
+            raise ValueError(
+                f"message_dtype must be one of {valid}, "
+                f"got {self.message_dtype!r}")
+        if self.message_dtype == "float8_e5m2":
+            import warnings
+
+            warnings.warn(
+                "message_dtype='float8_e5m2' is a measured NEGATIVE "
+                "result on TPU v5e: numerically correct but net slower "
+                "than 'bfloat16' (no native fp8 VPU; ROADMAP.md dead-end "
+                "table). Use 'bfloat16' unless re-measuring.",
+                stacklevel=2,
+            )
 
 
 @dataclass

@@ -1,0 +1,86 @@
+"""High-confidence error-rate statistics for the flagship p41 code.
+
+Decodes FRAMES (default 2048) frames per sigma point on the real TPU and
+writes a JSON artifact (scripts/out/fer_stats.json) with FER(>0),
+FER(>15), BER and exact frame counts — 4x the reference's 512-frame
+sample so "strictly better error rates" is backed below the reference's
+own FER15 resolution of 1/512 = 0.00195 (VERDICT r2 weak #5 / task 8).
+
+Usage: [FRAMES=2048] [SIGMAS=0.94,0.95] python scripts/fer_stats.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    from bench import get_code
+    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.runtime.datagen_device import (
+        count_bit_errors,
+        create_pool_device,
+    )
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    frames = int(os.environ.get("FRAMES", "2048"))
+    sigmas = [float(s) for s in
+              os.environ.get("SIGMAS", "0.94,0.95").split(",")]
+    code, qc = get_code()
+    out = {"n_vars": code.n_vars, "n_erased": code.n_erased_vars,
+           "max_iter": 120, "points": []}
+    for sigma in sigmas:
+        ch = BIAWGNChannel(sigma)
+        dec = LDPCDecoder(code, ch, StaticParams(
+            max_log_parallel_factor_user=8, message_dtype="bfloat16"),
+            qc=qc)
+        B = dec.parallel_factor()
+        dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=14,
+                            loading_factor=2)
+        err_all, iters_all = [], []
+        t_pt = time.perf_counter()
+        for lo in range(0, frames, 2 * B):
+            n = min(2 * B, frames - lo)
+            pool = create_pool_device(dec.cc, dec.tables, ch, lo, n)
+            results, stats = dec.decode_presorted(
+                dyn, n, pool.values_sorted, pool.syn_sorted,
+                fetch_results=False)
+            err_all.append(np.asarray(
+                count_bit_errors(results, pool.ref_packed)))
+            iters_all.append(stats.iterations)
+            del pool
+        errors = np.concatenate(err_all)
+        iters = np.concatenate(iters_all)
+        pt = {
+            "sigma": sigma,
+            "frames": int(errors.size),
+            "fer1": float((errors > 0).mean()),
+            "fer1_events": int((errors > 0).sum()),
+            "fer15": float((errors > 15).mean()),
+            "fer15_events": int((errors > 15).sum()),
+            "ber": float(errors.sum()) / (code.n_vars * errors.size),
+            "bit_errors": int(errors.sum()),
+            "avg_iters": round(float(iters.mean()), 2),
+            "max_iters": int(iters.max()),
+        }
+        out["points"].append(pt)
+        print(f"sigma={sigma}: frames={pt['frames']} "
+              f"FER(>0)={pt['fer1']:.5f} ({pt['fer1_events']} events) "
+              f"FER(>15)={pt['fer15']:.5f} BER={pt['ber']:.3e} "
+              f"avg_iters={pt['avg_iters']} "
+              f"[{time.perf_counter()-t_pt:.0f}s]", flush=True)
+    os.makedirs("/root/repo/scripts/out", exist_ok=True)
+    path = "/root/repo/scripts/out/fer_stats.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
