@@ -106,10 +106,14 @@ def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
                      algorithm=alg),
         qc=qc,
     )
+    B = dec.parallel_factor()
+    # loading factor grows with the requested frame count (the reference's
+    # flagship number is steady-state over a 2560-frame run, main.cpp:320;
+    # a larger pool amortizes the end-of-pool partially-empty supersteps)
+    lf = max(2, -(-n_frames // B))
     dyn = DynamicParams(num_iter_max=max_iter,
                         num_iter_check_parity=check_period,
-                        loading_factor=2, target_errors=15)
-    B = dec.parallel_factor()
+                        loading_factor=lf, target_errors=15)
     n = min(n_frames, B * dyn.loading_factor)
     n = (n // 32) * 32
     log(f"sigma={sigma} dtype={dtype} alg={alg} B={B} frames={n}")

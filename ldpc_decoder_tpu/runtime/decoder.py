@@ -376,7 +376,11 @@ class LDPCDecoder:
 
             # retire: pack + scatter results/iteration counts — gated
             # on-device so supersteps where nothing finished (the common
-            # case before the waterfall) skip the MXU pack entirely
+            # case before the waterfall) skip the MXU pack entirely.
+            # (An always-scatter variant with only the pack inside the
+            # cond measured ~1.5 Mb/s SLOWER — the unconditional 33 MB
+            # scatter costs more than the cond's buffer threading saves;
+            # scripts/micro_machinery.py round 3.)
             def _retire(op):
                 results0, iters_out0 = op
                 packed = _pack_bits_natural(bits, tables.vn_pos, n_words,

@@ -93,7 +93,18 @@ def test_qc_decode_matches_general_path():
     res_gen, st_gen = dec_gen.decode(dyn, n, batch.values, batch.syndromes)
     res_qc, st_qc = dec_qc.decode(dyn, n, batch.values, batch.syndromes)
     np.testing.assert_array_equal(res_gen, res_qc)
-    np.testing.assert_array_equal(st_gen.iterations, st_qc.iterations)
+    # iteration counts: identical for the initial batch; REFILLED frames
+    # may take one extra superstep on the QC path — its lane-reset refill
+    # spends the first iteration after a refill resetting the lane
+    # in-kernel (runtime/decoder.py), while the general path rebuilds the
+    # message state eagerly
+    B = dec_gen.parallel_factor()
+    np.testing.assert_array_equal(st_gen.iterations[:B],
+                                  st_qc.iterations[:B])
+    diff = st_qc.iterations - st_gen.iterations
+    k = dyn.num_iter_check_parity
+    assert np.all((diff == 0) | (diff == k))
+    assert np.all(diff[:B] == 0)
 
 
 def test_qc_decode_corrects_errors():
