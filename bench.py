@@ -80,7 +80,7 @@ def get_reg36_code():
 
 
 def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
-              check_period=10, hostfed=False):
+              check_period=10, hostfed=False, first_check=0):
     """Decode n_frames at sigma; returns (dec_mbps, e2e_mbps, stats dict).
 
     ``hostfed``: additionally decode the SAME pool through the host-data
@@ -113,6 +113,7 @@ def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
     lf = max(2, -(-n_frames // B))
     dyn = DynamicParams(num_iter_max=max_iter,
                         num_iter_check_parity=check_period,
+                        num_iter_first_check=first_check,
                         loading_factor=lf, target_errors=15)
     n = min(n_frames, B * dyn.loading_factor)
     n = (n // 32) * 32
@@ -221,6 +222,14 @@ def main():
     alg = os.environ.get("BENCH_ALG", "sum-product")
     n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
     check_period = int(os.environ.get("BENCH_K", "14"))
+    # first parity check at iteration 56 (grid {56, 70, 84, ...}): no p41
+    # frame converges before ~60 iterations at sigma >= 0.94 (true-min 61
+    # measured at B=64, quantized-min 70 over 2048 frames — fer_stats),
+    # so the first three checks of the k=14 grid are provably futile and
+    # their emit/parity/machinery cost is skipped (see DynamicParams.
+    # num_iter_first_check). Harmless if wrong: a frame converging early
+    # just retires at 56.
+    first_check = int(os.environ.get("BENCH_FIRST_CHECK", "56"))
 
     code, qc = get_code()
     # the tunneled chip can transiently report RESOURCE_EXHAUSTED right
@@ -230,7 +239,8 @@ def main():
         try:
             dec_mbps, e2e_mbps, st = run_point(
                 code, qc, sigma, dtype, alg, n_frames,
-                check_period=check_period, hostfed=hostfed)
+                check_period=check_period, hostfed=hostfed,
+                first_check=first_check)
             break
         except Exception as e:
             if attempt == 2 or "RESOURCE_EXHAUSTED" not in str(e):
@@ -246,7 +256,8 @@ def main():
             # equal-reliability throughput comparison (VERDICT r2 #5b)
             mb_fm, _, st_fm = run_point(code, qc, 0.952, dtype, alg,
                                         n_frames,
-                                        check_period=check_period)
+                                        check_period=check_period,
+                                        first_check=first_check)
             log(f"FER-matched point (sigma 0.952): {mb_fm:.1f} Mb/s at "
                 f"FER(>0) {st_fm['fer1']:.4f} (reference: 200.276 Mb/s at "
                 f"FER 0.047), {mb_fm / BASELINE_MBPS:.2f}x baseline")

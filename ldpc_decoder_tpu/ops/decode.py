@@ -234,3 +234,25 @@ def run_iterations(
     bits = hard_bits(totals)
     violated = parity_violations(bits, syn, tables)
     return msgs_c, bits, violated
+
+
+@partial(jax.jit, static_argnames=("b", "phi_pre"))
+def burst_iterations(
+    msgs_c: jnp.ndarray,
+    llr: jnp.ndarray,
+    syn: jnp.ndarray,
+    tables: DecodeTables,
+    b: int,
+    phi_pre: float = PRE_THRESHOLD,
+) -> jnp.ndarray:
+    """``b`` plain flood iterations, no parity check — bit-identical prefix
+    of run_iterations (the delayed-first-parity-check phase; see
+    qc_pallas_grouped.burst_iterations_qc_grouped)."""
+
+    def body(_, carry):
+        msgs, _ = carry
+        return bp_iteration(msgs, llr, syn, tables, phi_pre)
+
+    totals0 = jnp.zeros((tables.n_vars, llr.shape[-1]), jnp.float32)
+    msgs_c, _ = jax.lax.fori_loop(0, b, body, (msgs_c, totals0))
+    return msgs_c

@@ -404,6 +404,29 @@ def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product",
     return m_c.reshape(tables.n_edges, -1)
 
 
+@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre"))
+def burst_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables,
+                        b: int, alg: str = "sum-product", beta: float = 0.0,
+                        clamp: float = 64.0,
+                        phi_pre: float = PRE_THRESHOLD):
+    """``b`` plain BP iterations, no emit / no parity — bit-identical
+    prefix of run_iterations_qc (the delayed-first-parity-check phase;
+    see qc_pallas_grouped.burst_iterations_qc_grouped)."""
+    B = msgs2d.shape[-1]
+    Z = tables.Z
+    msgs = msgs2d.reshape(tables.n_blocks, Z, B)
+    llr = llr2d.reshape(-1, Z, B)
+    syn = syn2d.reshape(-1, Z, B)
+
+    def body(_, carry):
+        m, _ = carry
+        return bp_iteration_qc(m, llr, syn, tables, alg, beta, clamp,
+                               phi_pre)
+
+    msgs, _ = jax.lax.fori_loop(0, b, body, (msgs, jnp.zeros_like(llr)))
+    return msgs.reshape(tables.n_edges, B)
+
+
 @partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
 def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
                       alg: str = "sum-product", beta: float = 0.0,

@@ -637,6 +637,32 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     )
 
 
+@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre"))
+def burst_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
+                               b: int, alg: str = "sum-product",
+                               beta: float = 0.0, clamp: float = 64.0,
+                               phi_pre: float = PRE_THRESHOLD):
+    """``b`` plain BP iterations, no emit / no parity — bit-identical
+    prefix of run_iterations_qc_pallas (see the grouped twin's docstring,
+    qc_pallas_grouped.burst_iterations_qc_grouped)."""
+    B = msgs2d.shape[-1]
+    Z, C, R = tables.Z, tables.C, tables.R
+    msgs = msgs2d.reshape(C, tables.d_v, Z, B)
+    ldt = (jnp.bfloat16 if jnp.dtype(msgs.dtype).itemsize == 1
+           else msgs.dtype)
+    llr = llr2d.reshape(C, Z, B).astype(ldt)
+    syn = syn2d.reshape(R, Z, B)
+
+    def body(_, m):
+        r_c = cn_pass(m, syn, tables, alg, beta, phi_pre)
+        m2, _ = vn_pass(r_c, llr, tables, emit_bits=False, alg=alg,
+                        clamp=clamp, phi_pre=phi_pre)
+        return m2
+
+    msgs = jax.lax.fori_loop(0, b, body, msgs)
+    return msgs.reshape(tables.n_edges, B)
+
+
 def _shift_of(read_tab, tables: QCPallasTables):
     """Reconstruct absolute rotations from a read table (both modes)."""
     T = tables.tile

@@ -684,6 +684,43 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
     )
 
 
+@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre"))
+def burst_iterations_qc_grouped(msgs2d, llr2d, syn2d,
+                                tables: GroupedQCPallasTables, b: int,
+                                alg: str = "sum-product", beta: float = 0.0,
+                                clamp: float = 64.0,
+                                phi_pre: float = PRE_THRESHOLD):
+    """``b`` plain BP iterations with no hard-decision emit and no parity
+    check — the delayed-first-parity-check phase (DynamicParams.
+    num_iter_first_check). Bit-identical prefix of run_iterations_qc_grouped:
+    burst(b) followed by run_iterations(k) equals run_iterations(b+k) on
+    the message state and every emitted result (the degree-1 launch skip
+    is invariant to emit frequency: those messages are constant φ(llr)).
+
+    The reference has no analog — its host polls parity every fixed k
+    (ldpc_decoder_gpu.cu:374); here skipping the early, provably-futile
+    checks saves the emit pass (degree-1 groups + bits write) and the
+    parity kernel per skipped superstep."""
+    msgs2d, rc2d = msgs2d
+    B = msgs2d.shape[-1]
+    Z = tables.Z
+    msgs = msgs2d.reshape(tables.nbv_pad, Z, B)
+    llr = llr2d.reshape(tables.C, Z, B).astype(msgs.dtype)
+    syn = syn2d.reshape(tables.R, Z, B)
+    r_c = rc2d.reshape(tables.nbc_pad, Z, B)
+
+    def body(_, carry):
+        m, rc = carry
+        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta, phi_pre)
+        m, _ = vn_pass_grouped(rc, llr, m, tables, emit_bits=False,
+                               alg=alg, clamp=clamp, phi_pre=phi_pre)
+        return m, rc
+
+    msgs, r_c = jax.lax.fori_loop(0, b, body, (msgs, r_c))
+    return (msgs.reshape(tables.nbv_pad * Z, B),
+            r_c.reshape(tables.nbc_pad * Z, B))
+
+
 def syndrome_from_bits_qc_grouped(bits2d, tables: GroupedQCPallasTables):
     """[n_checks, B] syndrome from sorted 2-D bits (datagen helper;
     XLA roll path — runs once per pool)."""

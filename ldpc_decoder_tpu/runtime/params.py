@@ -76,6 +76,19 @@ class DynamicParams:
     num_iter_max: int = 100
     # iterations between on-device parity checks / refills
     num_iter_check_parity: int = 10
+    # iteration of the FIRST parity check (0 = num_iter_check_parity, i.e.
+    # the reference's fixed-period behavior). Setting it higher runs the
+    # first (first_check - k) iterations as a plain kernel burst with no
+    # hard-decision emit, parity kernel, or retire/refill machinery —
+    # profitable when no frame can converge that early (e.g. the flagship
+    # p41 point at sigma 0.94: true first convergence >= ~60 iterations
+    # measured over 2048+ frames, so 56 skips three provably-futile
+    # checks). Applies to the initial generation only; refilled lanes are
+    # checked every k as usual. A frame that would converge during the
+    # burst is still decoded correctly — it just retires at the first
+    # post-burst check, so a too-large value costs throughput, never
+    # correctness.
+    num_iter_first_check: int = 0
     # frames per run = parallel_factor * loading_factor (main.cpp:320)
     loading_factor: int = 4
     target_errors: int = 0
