@@ -100,9 +100,13 @@ def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
     from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
     channel = BIAWGNChannel(sigma)
+    # -p analog: 8 -> B=256, the reference's own flagship lane count (its
+    # 10 GB RTX 3080 memory-models to 2^8; a 16 GB v5e models to 2^9 —
+    # BENCH_LOGP=9 measures that natural point as a beyond-matched extra)
+    logp = int(os.environ.get("BENCH_LOGP", "8"))
     dec = LDPCDecoder(
         code, channel,
-        StaticParams(max_log_parallel_factor_user=8, message_dtype=dtype,
+        StaticParams(max_log_parallel_factor_user=logp, message_dtype=dtype,
                      algorithm=alg),
         qc=qc,
     )

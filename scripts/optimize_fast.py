@@ -65,9 +65,18 @@ def iters_to_converge(base, n_punct, sigma, target=1.0 - 1e-6):
     return MAX_DE
 
 
+OBJ = os.environ.get("OBJ", "iters")  # iters | work
+
+
 def score(base, n_punct):
-    """(negative iters at SIGMA_OP, threshold) — higher is better; bases
-    whose 120-iteration threshold misses EDGE are rejected outright."""
+    """(negative decode cost at SIGMA_OP, threshold) — higher is better;
+    bases whose 120-iteration threshold misses EDGE are rejected outright.
+
+    OBJ=iters: cost = DE iterations alone. OBJ=work: cost = iterations x
+    edges-per-column — the actual decode work per transmitted bit (both
+    HBM traffic and φ evals scale with the edge count; measured round 3:
+    a 62-iteration base with 3.55 edges/col decodes SLOWER than p41's
+    67 x 3.14, scripts/out/fast611_run.log)."""
     it = iters_to_converge(base, n_punct, SIGMA_OP)
     if it >= MAX_DE:
         return None
@@ -76,7 +85,10 @@ def score(base, n_punct):
                           max_iters=120)
     if thr < EDGE:
         return None
-    return (-it, thr)
+    cost = it
+    if OBJ == "work":
+        cost = it * float(base.sum()) / base.shape[1]
+    return (-cost, thr)
 
 
 def main():

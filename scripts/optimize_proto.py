@@ -54,6 +54,13 @@ BEST_KNOWN = {
          [0, 1, 0, 0, 0, 0, 2, 0, 0, 1], [0, 0, 0, 1, 0, 2, 0, 2, 2, 1],
          [0, 0, 1, 1, 0, 0, 0, 0, 0, 3], [1, 0, 1, 0, 0, 1, 2, 0, 0, 1]],
         dtype=np.int64),
+    # constrained(80) 0.9468 / (120) 0.9561; DE iters at 0.94: 66 vs
+    # p41's 67 (round 3, scripts/out/proto_6x11_s5.log)
+    (6, 11, 1): np.array(
+        [[2, 3, 0, 0, 1, 0, 0, 0, 0, 0, 1], [1, 1, 0, 0, 0, 1, 1, 0, 0, 2, 1],
+         [0, 2, 0, 0, 0, 0, 0, 1, 0, 2, 1], [0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 2],
+         [1, 0, 3, 0, 0, 1, 1, 1, 0, 1, 0], [0, 0, 0, 1, 0, 1, 0, 0, 0, 2, 3]],
+        dtype=np.int64),
 }
 
 
