@@ -226,14 +226,16 @@ def main():
     alg = os.environ.get("BENCH_ALG", "sum-product")
     n_frames = int(os.environ.get("BENCH_FRAMES", "512"))
     check_period = int(os.environ.get("BENCH_K", "14"))
-    # first parity check at iteration 56 (grid {56, 70, 84, ...}): no p41
+    # first parity check at iteration 70 (grid {70, 84, ...}): no p41
     # frame converges before ~60 iterations at sigma >= 0.94 (true-min 61
-    # measured at B=64, quantized-min 70 over 2048 frames — fer_stats),
-    # so the first three checks of the k=14 grid are provably futile and
-    # their emit/parity/machinery cost is skipped (see DynamicParams.
-    # num_iter_first_check). Harmless if wrong: a frame converging early
-    # just retires at 56.
-    first_check = int(os.environ.get("BENCH_FIRST_CHECK", "56"))
+    # measured at B=64) and the quantized retire-min over 2048 frames is
+    # 70 (fer_stats), so every check before 70 on the k=14 grid is
+    # provably futile and its emit/parity/machinery cost is skipped (see
+    # DynamicParams.num_iter_first_check; 56 -> 70 measured 211.2 ->
+    # 212.0 Mb/s). Harmless if wrong: a frame converging early just
+    # retires at 70 — the same iteration it would retire at under the
+    # 56 grid for anything converging past 56.
+    first_check = int(os.environ.get("BENCH_FIRST_CHECK", "70"))
 
     code, qc = get_code()
     # the tunneled chip can transiently report RESOURCE_EXHAUSTED right
