@@ -6,7 +6,11 @@ FER(>15), BER and exact frame counts — 4x the reference's 512-frame
 sample so "strictly better error rates" is backed below the reference's
 own FER15 resolution of 1/512 = 0.00195 (VERDICT r2 weak #5 / task 8).
 
-Usage: [FRAMES=2048] [SIGMAS=0.94,0.95] python scripts/fer_stats.py
+Usage: [FRAMES=2048] [SIGMAS=0.94,0.95] [FER_ALIST=path] [FER_OUT=path]
+       python scripts/fer_stats.py
+
+FER_ALIST evaluates a candidate code instead of the shipped flagship
+(used to qualify a lift seed's waterfall before promoting it).
 """
 
 import json
@@ -32,7 +36,14 @@ def main():
     frames = int(os.environ.get("FRAMES", "2048"))
     sigmas = [float(s) for s in
               os.environ.get("SIGMAS", "0.94,0.95").split(",")]
-    code, qc = get_code()
+    alist = os.environ.get("FER_ALIST")
+    if alist:
+        from ldpc_decoder_tpu.codes.qc import load_qc_alist
+
+        code, qc = load_qc_alist(alist)
+        print(f"candidate code: {alist}", flush=True)
+    else:
+        code, qc = get_code()
     out = {"n_vars": code.n_vars, "n_erased": code.n_erased_vars,
            "max_iter": 120, "points": []}
     for sigma in sigmas:
@@ -76,7 +87,8 @@ def main():
               f"avg_iters={pt['avg_iters']} "
               f"[{time.perf_counter()-t_pt:.0f}s]", flush=True)
     os.makedirs("/root/repo/scripts/out", exist_ok=True)
-    path = "/root/repo/scripts/out/fer_stats.json"
+    path = os.environ.get("FER_OUT",
+                          "/root/repo/scripts/out/fer_stats.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
