@@ -130,3 +130,24 @@ def test_two_stage_lift_decodes_end_to_end():
     results, stats = dec.decode(dyn, n, batch.values, batch.syndromes)
     errors = np_.bitwise_count(batch.ref_bits_packed() ^ results).sum(axis=1)
     assert errors.sum() == 0, f"errors: {errors}"
+
+
+def test_p41_code_shipped_defaults():
+    """Pin the shipped flagship instance parameters (round-3 ship:
+    coarse=1024 lattice, lift seed 3 — scripts/try_coarse1024_seeds.py)
+    and smoke the constructor at small Z: valid girth-8 punctured
+    instance with the punctured column landing last."""
+    import inspect
+
+    from ldpc_decoder_tpu.codes.protographs import p41_code
+
+    sig = inspect.signature(p41_code)
+    assert [p.default for p in sig.parameters.values()] == [
+        18432, 3, 8, 1024, 64], (
+        "flagship defaults drifted from the validated shipped instance")
+
+    code, s = p41_code(Z=128, m=4, coarse=64, fine_mod=16)
+    assert code.n_vars == 7 * 4 * 128
+    assert code.n_erased_vars == 4 * 128
+    assert not _has_4cycle(s)
+    assert _count_6cycles(s) == 0
