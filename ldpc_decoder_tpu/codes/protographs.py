@@ -282,6 +282,20 @@ def p41_code(Z: int = 18432, seed: int = 3, m: int = 8,
     )
 
 
+def p41_shipped_params() -> dict[str, str]:
+    """Construction parameters of the shipped p41 instance (the defaults
+    of :func:`p41_code`), for the ``#params=`` alist cache header — a
+    cached file built with other params (e.g. a round-2 seed-1/coarse-512
+    cache) is detected and regenerated instead of silently benchmarked."""
+    import inspect
+
+    sig = inspect.signature(p41_code)
+    out = {"base": "p41"}
+    for k, v in sig.parameters.items():
+        out[k] = str(v.default)
+    return out
+
+
 # P-EXIT-optimized 12x24 rate-1/2 base (RU max-d_v-8 degree profile,
 # scripts/optimize_base.py: random search + degree-preserving edge-swap
 # hill climb maximizing the Gaussian-approximation P-EXIT threshold).

@@ -467,19 +467,115 @@ def make_qc_code(
 
 
 def write_qc_alist(
-    code: LDPCCode, structure: QCStructure, path: str
+    code: LDPCCode, structure: QCStructure, path: str,
+    params: dict | None = None,
 ) -> None:
-    """alist with QC metadata headers (reference-parser compatible)."""
+    """alist with QC metadata headers (reference-parser compatible).
+
+    ``params``: construction parameters (base name, Z, m, seed, coarse,
+    fine_mod, ...) recorded as a ``#params=`` comment so cached files are
+    self-describing — a cache holding a stale construction is detected by
+    comparing headers instead of trusting the filename (which encodes
+    neither seed nor lattice)."""
     from ldpc_decoder_tpu.codes.alist import write_alist
 
     body = write_alist(code.to_alist_data())
     with open(path, "w") as f:
+        if params:
+            kv = ";".join(f"{k}={v}" for k, v in sorted(params.items()))
+            f.write(f"#params={kv}\n")
         for tok in structure.header_tokens():
             f.write(tok + "\n")
         f.write(body)
+
+
+def read_alist_params(path: str) -> dict[str, str] | None:
+    """The ``#params=`` construction header of an alist file, if present."""
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("#params="):
+                out = {}
+                for kv in line[8:].split(";"):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        out[k] = v
+                return out
+            if not line.startswith("#"):
+                break
+    return None
 
 
 def load_qc_alist(path: str) -> tuple[LDPCCode, QCStructure | None]:
     with open(path) as f:
         text = f.read()
     return LDPCCode.from_alist(text), QCStructure.from_header(text)
+
+
+def detect_qc_structure(
+    code: LDPCCode, min_Z: int = 32, require_tile: int = 128
+) -> QCStructure | None:
+    """Recover circulant (QC) block structure from an arbitrary code.
+
+    Most production LDPC codes (802.11n/802.16e, 5G NR, DVB-S2, CCSDS) are
+    quasi-cyclic, but an alist file carries no structure metadata — the
+    reference decodes every alist through one generic CSR walk
+    (flood.cu:117-158) and cannot exploit it. Here detection upgrades any
+    aligned QC alist to the fused rotation kernels (8-30x the generic
+    gather path) with no user action.
+
+    For each candidate lifting size Z (divisors of gcd(n_vars, n_checks),
+    largest first), the edge set is grouped by (block row, block col,
+    (c - r) mod Z); the code is QC at Z iff every group has exactly Z
+    edges (a full circulant — uniqueness of (r mod Z) within a group is
+    implied). Only the aligned layout (consecutive rows/cols per block) is
+    detected; permuted variants are out of scope.
+
+    ``require_tile``: the fused kernels tile the rotation axis by powers
+    of two, so a useful Z must be divisible by a power of two >= this
+    (falls back to 32, the hard kernel minimum, before giving up).
+    Returns None when no usable Z exists (e.g. random codes).
+    """
+    import math
+
+    n_v, n_c = code.n_vars, code.n_checks
+    g = math.gcd(n_v, n_c)
+    divisors = sorted(
+        {d for i in range(1, int(math.isqrt(g)) + 1) if g % i == 0
+         for d in (i, g // i)},
+        reverse=True,
+    )
+    rows = np.repeat(
+        np.arange(n_c, dtype=np.int64), np.diff(code.out_bit_to_edge))
+    cols = code.in_edge_to_bit[code.edge_out_to_in].astype(np.int64)
+
+    def pow2_div(z):
+        p = 1
+        while z % (p * 2) == 0:
+            p *= 2
+        return p
+
+    for want_pow2 in (require_tile, 32):
+        for Z in divisors:
+            if Z < min_Z or Z == 1:
+                continue
+            if pow2_div(Z) < want_pow2:
+                continue
+            br = rows // Z
+            bc = cols // Z
+            shift = (cols % Z - rows % Z) % Z
+            Cb = n_v // Z
+            key = (br * Cb + bc) * Z + shift
+            _, counts = np.unique(key, return_counts=True)
+            if (counts == Z).all():
+                uk = np.unique(key)
+                e_shift = (uk % Z).astype(np.int32)
+                e_bc = ((uk // Z) % Cb).astype(np.int32)
+                e_br = (uk // (Z * Cb)).astype(np.int32)
+                order = np.lexsort((e_bc, e_br))
+                return QCStructure(
+                    Z=int(Z), n_base_rows=n_c // Z, n_base_cols=Cb,
+                    edge_row=e_br[order], edge_col=e_bc[order],
+                    edge_shift=e_shift[order],
+                )
+    return None

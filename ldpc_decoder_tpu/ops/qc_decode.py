@@ -294,18 +294,61 @@ def syndrome_from_bits_qc(
     return jnp.concatenate(out).reshape(tables.n_checks, -1)
 
 
+def quantize_msgs(x: jnp.ndarray, qscale: float) -> jnp.ndarray:
+    """f32 LLR messages -> int8 fixed-point at ``qscale`` steps/unit.
+
+    Standard hardware min-sum quantization (the min/sign/±β update is
+    exact on the integer grid): round-to-nearest-even, saturate at ±127 —
+    i.e. a built-in symmetric clamp of 127/qscale (±31.75 at the default
+    scale 4). Zero keeps no sign, which is information-free in the
+    LLR domain (a 0-magnitude input forces 0-magnitude check outputs)."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * jnp.float32(qscale)),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
+def dequantize_msgs(m: jnp.ndarray, qscale: float) -> jnp.ndarray:
+    return m.astype(jnp.float32) * jnp.float32(1.0 / qscale)
+
+
+def resolve_minsum_alpha(alpha, degree: int) -> float:
+    """Per-degree normalization factor of normalized min-sum.
+
+    ``alpha`` is either a scalar (uniform α) or a hashable tuple of
+    ``(degree, α)`` pairs — degree-matched normalization, the standard
+    refinement for irregular codes (each check degree d has its own
+    E[min of d-1 |LLR|s] bias; a single α over-corrects some degrees).
+    A ``(0, α)`` pair is the fallback for degrees not listed.
+    """
+    if isinstance(alpha, (int, float)):
+        return float(alpha)
+    table = dict(alpha)
+    if degree in table:
+        return float(table[degree])
+    if 0 in table:
+        return float(table[0])
+    raise ValueError(
+        f"minsum alpha table {alpha!r} has no entry for check degree "
+        f"{degree} and no (0, default) fallback")
+
+
 def cn_update_qc_minsum(
     msgs: jnp.ndarray,  # [nb, Z, B] LLR-domain messages, check order
     syn: jnp.ndarray,  # [R, Z, B] int8, sorted row order
     tables: QCDecodeTables,
     beta: float,
+    alpha=1.0,
+    qscale: float = 4.0,
 ) -> jnp.ndarray:
-    """Offset min-sum check update: |out| = max(min_{other} |m| - β, 0).
+    """Normalized/offset min-sum check update:
+    |out| = max(α_d · min_{other} |m| - β, 0).
 
     The standard hardware-decoder approximation of the tanh rule (replaces
     the reference's φ chain, flood.cu:88-114, with a two-minimum
-    leave-one-out); messages stay in the LLR domain.
+    leave-one-out); messages stay in the LLR domain. ``alpha`` may be
+    per-check-degree (see resolve_minsum_alpha). int8 messages are
+    fixed-point at ``qscale`` (quantize_msgs).
     """
+    is_q = msgs.dtype == jnp.int8
     out = []
     syn_i = syn.astype(jnp.int32)
     row = 0
@@ -314,7 +357,8 @@ def cn_update_qc_minsum(
         start = g.block_start
         m = msgs[start : start + nbk].reshape(
             g.count, g.degree, tables.Z, -1
-        ).astype(jnp.float32)
+        )
+        m = dequantize_msgs(m, qscale) if is_q else m.astype(jnp.float32)
         neg = jnp.signbit(m)
         a = jnp.abs(m)
         min1 = jnp.min(a, axis=1, keepdims=True)
@@ -329,12 +373,14 @@ def cn_update_qc_minsum(
             # VN pass via inf - inf)
             min2 = jnp.zeros_like(min2)
         other = jnp.where(k_idx == pos, min2, min1)
-        res = jnp.maximum(other - jnp.float32(beta), 0.0)
+        a_g = resolve_minsum_alpha(alpha, g.degree)
+        res = jnp.maximum(jnp.float32(a_g) * other - jnp.float32(beta), 0.0)
         pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=1, keepdims=True)
         sblk = syn_i[row : row + g.count][:, None]
         parity = (sblk + pos_votes) & 1
         is_neg = (neg.astype(jnp.int32) ^ parity) == 1
-        r = jnp.where(is_neg, -res, res).astype(msgs.dtype)
+        rf = jnp.where(is_neg, -res, res)
+        r = quantize_msgs(rf, qscale) if is_q else rf.astype(msgs.dtype)
         out.append(r.reshape(nbk, tables.Z, -1))
         row += g.count
     return jnp.concatenate(out, axis=0)
@@ -346,8 +392,11 @@ def vn_update_qc_minsum(
     tables: QCDecodeTables,
     clamp: float,
     fresh=None,  # [B] bool: lane-reset refill (see vn_update_qc)
+    qscale: float = 4.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Min-sum variable update: plain leave-one-out sums, clamped."""
+    """Min-sum variable update: plain leave-one-out sums, clamped.
+    int8 messages are re-quantized on write (quantize_msgs)."""
+    is_q = r_v.dtype == jnp.int8
     msgs_out, totals_out = [], []
     col = 0
     for g in tables.col_groups:
@@ -355,7 +404,8 @@ def vn_update_qc_minsum(
         start = g.block_start
         r = r_v[start : start + nbk].reshape(
             g.count, g.degree, tables.Z, -1
-        ).astype(jnp.float32)
+        )
+        r = dequantize_msgs(r, qscale) if is_q else r.astype(jnp.float32)
         lv = llr[col : col + g.count].astype(jnp.float32)
         totals = lv + jnp.sum(r, axis=1)
         if g.degree == 1:
@@ -366,7 +416,8 @@ def vn_update_qc_minsum(
             pre = totals[:, None] - r
             if fresh is not None:
                 pre = jnp.where(fresh[None, None, None, :], lv[:, None], pre)
-        m = jnp.clip(pre, -clamp, clamp).astype(r_v.dtype)
+        mf = jnp.clip(pre, -clamp, clamp)
+        m = quantize_msgs(mf, qscale) if is_q else mf.astype(r_v.dtype)
         if fresh is not None:
             totals = jnp.where(fresh[None, None, :], lv, totals)
         msgs_out.append(m.reshape(nbk, tables.Z, -1))
@@ -376,12 +427,14 @@ def vn_update_qc_minsum(
 
 
 def bp_iteration_qc(msgs, llr, syn, tables, alg="sum-product", beta=0.0,
-                    clamp=64.0, phi_pre=PRE_THRESHOLD, fresh=None):
+                    clamp=64.0, phi_pre=PRE_THRESHOLD, fresh=None,
+                    alpha=1.0, qscale=4.0):
     """One flood iteration in QC layout. msgs check-order [nb, Z, B]."""
     if alg == "min-sum":
-        r_c = cn_update_qc_minsum(msgs, syn, tables, beta)
+        r_c = cn_update_qc_minsum(msgs, syn, tables, beta, alpha, qscale)
         r_v = cn_to_vn(r_c, tables)
-        m_v, totals = vn_update_qc_minsum(r_v, llr, tables, clamp, fresh)
+        m_v, totals = vn_update_qc_minsum(r_v, llr, tables, clamp, fresh,
+                                          qscale)
     else:
         r_c = cn_update_qc(msgs, syn, tables, phi_pre)
         r_v = cn_to_vn(r_c, tables)
@@ -390,13 +443,18 @@ def bp_iteration_qc(msgs, llr, syn, tables, alg="sum-product", beta=0.0,
 
 
 def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product",
-                     phi_pre=PRE_THRESHOLD):
+                     phi_pre=PRE_THRESHOLD, clamp=64.0, qscale=4.0):
     """[E, B] fresh messages, rotated into check order (flood_refill
-    analog): φ(llr) for sum-product, llr itself for min-sum."""
+    analog): φ(llr) for sum-product, llr itself for min-sum (quantized
+    for int8 message storage)."""
     Z = tables.Z
     llr = llr2d.reshape(-1, Z, llr2d.shape[-1])
     if alg == "min-sum":
-        p = llr.astype(dtype)
+        if dtype == jnp.int8:
+            p = quantize_msgs(
+                jnp.clip(llr.astype(jnp.float32), -clamp, clamp), qscale)
+        else:
+            p = llr.astype(dtype)
     else:
         p = jnp.copysign(phi_abs(jnp.abs(llr), phi_pre), llr).astype(dtype)
     blocks = jnp.take(p, tables.cn_col_of_block, axis=0)
@@ -404,11 +462,13 @@ def init_messages_qc(llr2d, tables, dtype=jnp.float32, alg="sum-product",
     return m_c.reshape(tables.n_edges, -1)
 
 
-@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre"))
+@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre",
+                                   "alpha", "qscale"))
 def burst_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables,
                         b: int, alg: str = "sum-product", beta: float = 0.0,
                         clamp: float = 64.0,
-                        phi_pre: float = PRE_THRESHOLD):
+                        phi_pre: float = PRE_THRESHOLD, alpha=1.0,
+                        qscale: float = 4.0):
     """``b`` plain BP iterations, no emit / no parity — bit-identical
     prefix of run_iterations_qc (the delayed-first-parity-check phase;
     see qc_pallas_grouped.burst_iterations_qc_grouped)."""
@@ -421,17 +481,19 @@ def burst_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables,
     def body(_, carry):
         m, _ = carry
         return bp_iteration_qc(m, llr, syn, tables, alg, beta, clamp,
-                               phi_pre)
+                               phi_pre, alpha=alpha, qscale=qscale)
 
-    msgs, _ = jax.lax.fori_loop(0, b, body, (msgs, jnp.zeros_like(llr)))
+    msgs, _ = jax.lax.fori_loop(
+        0, b, body, (msgs, jnp.zeros(llr.shape, jnp.float32)))
     return msgs.reshape(tables.n_edges, B)
 
 
-@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre",
+                                   "alpha", "qscale"))
 def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
                       alg: str = "sum-product", beta: float = 0.0,
                       clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD,
-                      fresh=None):
+                      fresh=None, alpha=1.0, qscale: float = 4.0):
     """2-D-interface twin of ops.decode.run_iterations.
 
     ``fresh`` ([B] bool/int8 or None): lanes refilled since the last
@@ -447,15 +509,16 @@ def run_iterations_qc(msgs2d, llr2d, syn2d, tables: QCDecodeTables, k: int,
     def body(_, carry):
         m, _ = carry
         return bp_iteration_qc(m, llr, syn, tables, alg, beta, clamp,
-                               phi_pre)
+                               phi_pre, alpha=alpha, qscale=qscale)
 
-    totals0 = jnp.zeros_like(llr)
+    totals0 = jnp.zeros(llr.shape, jnp.float32)
     if fresh is None:
         msgs, totals = jax.lax.fori_loop(0, k, body, (msgs, totals0))
     else:
         fr = fresh.reshape(-1) != 0
         msgs, totals = bp_iteration_qc(msgs, llr, syn, tables, alg, beta,
-                                       clamp, phi_pre, fresh=fr)
+                                       clamp, phi_pre, fresh=fr, alpha=alpha,
+                                       qscale=qscale)
         msgs, totals = jax.lax.fori_loop(1, k, body, (msgs, totals))
     bits = (~jnp.signbit(totals)).astype(jnp.int8)
     violated = parity_violations_qc(bits, syn, tables)

@@ -56,7 +56,10 @@ from ldpc_decoder_tpu.ops.phi import (
     PRE_THRESHOLD,
     TAYLOR_LIMIT,
 )
-from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
+from ldpc_decoder_tpu.ops.qc_decode import (
+    QCDecodeTables,
+    resolve_minsum_alpha,
+)
 
 MAX_SEAM = 64  # max halo rows per side in seam mode (12.5% of a 1024 tile)
 
@@ -366,7 +369,8 @@ def _scratch_rows(tile: int, seam: int) -> int:
 
 
 def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
-               beta: float, phi_high: float, phi_pre: float):
+               beta: float, phi_high: float, phi_pre: float,
+               alpha: float = 1.0):
     """Check-node update (flood_backward) with rotated reads.
 
     refs = d_c slots' message blocks, syndrome tile, output [1, d_c, T, B],
@@ -398,7 +402,8 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
             pos = jnp.where(is_new, k, pos)
         for k in range(d_c):
             other = jnp.where(pos == k, m2, m1)
-            res = jnp.maximum(other - jnp.float32(beta), 0.0)
+            res = jnp.maximum(
+                jnp.float32(alpha) * other - jnp.float32(beta), 0.0)
             is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
             out_ref[0, k] = jnp.where(is_neg, -res, res).astype(
                 out_ref.dtype)
@@ -458,7 +463,7 @@ def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
 
 
 def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
-            beta: float = 0.0, phi_pre: float = PRE_THRESHOLD):
+            beta: float = 0.0, phi_pre: float = PRE_THRESHOLD, alpha=1.0):
     """msgs_v [C, d_v, Z, B], syn3 [R, Z, B] -> r_c [R, d_c, Z, B]."""
     T, Z, B = tables.tile, tables.Z, msgs_v.shape[-1]
     NT = Z // T
@@ -486,7 +491,8 @@ def cn_pass(msgs_v, syn3, tables: QCPallasTables, alg: str = "sum-product",
     return pl.pallas_call(
         partial(_cn_kernel, d_c=tables.d_c, tile=T, seam=tables.seam,
                 alg=alg, beta=beta, phi_high=_phi_high(msgs_v.dtype),
-                phi_pre=phi_pre),
+                phi_pre=phi_pre,
+                alpha=resolve_minsum_alpha(alpha, tables.d_c)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (tables.R, tables.d_c, Z, B), msgs_v.dtype
@@ -578,12 +584,13 @@ def init_messages_qc_pallas(llr2d, tables: QCPallasTables,
     return m.reshape(tables.n_edges, B)
 
 
-@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre",
+                                   "alpha"))
 def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
                              k: int, alg: str = "sum-product",
                              beta: float = 0.0, clamp: float = 64.0,
                              phi_pre: float = PRE_THRESHOLD,
-                             fresh=None):
+                             fresh=None, alpha=1.0):
     """2-D-interface twin of ops.decode.run_iterations (msgs in VN layout).
 
     The k-iteration superstep: k-1 light iterations (messages only), then a
@@ -608,7 +615,7 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     syn = syn2d.reshape(R, Z, B)
 
     def body(_, m):
-        r_c = cn_pass(m, syn, tables, alg, beta, phi_pre)
+        r_c = cn_pass(m, syn, tables, alg, beta, phi_pre, alpha)
         m2, _ = vn_pass(r_c, llr, tables, emit_bits=False, alg=alg,
                         clamp=clamp, phi_pre=phi_pre)
         return m2
@@ -619,12 +626,12 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
             (fresh.reshape(-1) != 0).astype(jnp.float32)[None, :], (8, B))
     lo = 0
     if fresh is not None and k > 1:
-        r_c = cn_pass(msgs, syn, tables, alg, beta, phi_pre)
+        r_c = cn_pass(msgs, syn, tables, alg, beta, phi_pre, alpha)
         msgs, _ = vn_pass(r_c, llr, tables, emit_bits=False, alg=alg,
                           clamp=clamp, phi_pre=phi_pre, fresh8=fresh8)
         lo = 1
     msgs = jax.lax.fori_loop(lo, k - 1, body, msgs)
-    r_c = cn_pass(msgs, syn, tables, alg, beta, phi_pre)
+    r_c = cn_pass(msgs, syn, tables, alg, beta, phi_pre, alpha)
     msgs, bits = vn_pass(
         r_c, llr, tables, emit_bits=True, alg=alg, clamp=clamp,
         phi_pre=phi_pre,
@@ -637,11 +644,12 @@ def run_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     )
 
 
-@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre"))
+@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre",
+                                   "alpha"))
 def burst_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
                                b: int, alg: str = "sum-product",
                                beta: float = 0.0, clamp: float = 64.0,
-                               phi_pre: float = PRE_THRESHOLD):
+                               phi_pre: float = PRE_THRESHOLD, alpha=1.0):
     """``b`` plain BP iterations, no emit / no parity — bit-identical
     prefix of run_iterations_qc_pallas (see the grouped twin's docstring,
     qc_pallas_grouped.burst_iterations_qc_grouped)."""
@@ -654,7 +662,7 @@ def burst_iterations_qc_pallas(msgs2d, llr2d, syn2d, tables: QCPallasTables,
     syn = syn2d.reshape(R, Z, B)
 
     def body(_, m):
-        r_c = cn_pass(m, syn, tables, alg, beta, phi_pre)
+        r_c = cn_pass(m, syn, tables, alg, beta, phi_pre, alpha)
         m2, _ = vn_pass(r_c, llr, tables, emit_bits=False, alg=alg,
                         clamp=clamp, phi_pre=phi_pre)
         return m2

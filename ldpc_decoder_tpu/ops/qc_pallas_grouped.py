@@ -36,7 +36,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
+from ldpc_decoder_tpu.ops.qc_decode import (
+    QCDecodeTables,
+    resolve_minsum_alpha,
+)
 from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD
 from ldpc_decoder_tpu.ops.qc_pallas import (
     MAX_SEAM,
@@ -251,8 +254,13 @@ def _rps(seam: int) -> int:
     return 2
 
 
-def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
+def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch,
+                 inv_scale: float = 1.0):
     """Stage slot k's fetched blocks and cut the rotated T-row window.
+
+    ``inv_scale``: dequantization factor for int8 fixed-point messages
+    (exact in f32 when the scale is a power of two; ops/qc_decode.
+    quantize_msgs) — applied while staging, so windows are plain LLRs.
 
     Every slot stages into its own scratch region (``scratch[k]``): the
     kernels keep all d window values live across the whole node update, and
@@ -264,32 +272,48 @@ def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch):
     bytes) fails Mosaic compilation — packed-bf16 dynamic sublane slices
     need offsets provably multiple of 8, and the fine rotation offsets
     are arbitrary (measured round 3; ROADMAP dead-end table)."""
+    sc = jnp.float32(inv_scale)
     if seam:
         main, halo = refs[2 * k], refs[2 * k + 1]
-        scratch[k, seam : seam + tile, :] = main[0].astype(jnp.float32)
+        scratch[k, seam : seam + tile, :] = main[0].astype(jnp.float32) * sc
         # sign-selected halo staged at the matching end (qc_pallas._window)
         pos = jnp.where(tab_ref[e_base + i * d + k, 3] >= seam,
                         seam + tile, 0)
-        scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.float32)
+        scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.float32) * sc
     else:
-        scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.float32)
-        scratch[k, tile : 2 * tile, :] = refs[2 * k + 1][0].astype(jnp.float32)
+        scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.float32) * sc
+        scratch[k, tile : 2 * tile, :] = (
+            refs[2 * k + 1][0].astype(jnp.float32) * sc)
     fine = tab_ref[e_base + i * d + k, 3]
     return scratch[k, pl.ds(fine, tile), :]
 
 
+def _store_msg(out_ref, idx, val, qscale):
+    """Write a message tile: quantize to int8 fixed-point when the output
+    dtype is int8 (round-to-nearest-even, saturate ±127), plain cast
+    otherwise — in lockstep with ops/qc_decode.quantize_msgs."""
+    if out_ref.dtype == jnp.int8:
+        q = jnp.clip(jnp.round(val * jnp.float32(qscale)), -127.0, 127.0)
+        out_ref[idx] = q.astype(jnp.int8)
+    else:
+        out_ref[idx] = val.astype(out_ref.dtype)
+
+
 def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
                  beta: float, block_start: int,
-                 phi_pre: float = PRE_THRESHOLD):
+                 phi_pre: float = PRE_THRESHOLD, alpha: float = 1.0,
+                 qscale: float = 0.0):
     """Grouped check-node update; refs = d slots, syn, prev-alias (ANY,
-    unused), out [d, T, lb], scratch."""
+    unused), out [d, T, lb], scratch. ``qscale`` > 0: int8 fixed-point
+    messages (dequantized at staging, re-quantized on write)."""
     r = _rps(seam)
     syn_ref = refs[r * d]
     out_ref = refs[r * d + 2]
     scratch = refs[r * d + 3]
     i = pl.program_id(0)
+    inv = 1.0 / qscale if qscale else 1.0
     m = [_window_flat(refs, k, tab_ref, block_start, i, d, tile, seam,
-                      scratch) for k in range(d)]
+                      scratch, inv) for k in range(d)]
     a = [jnp.abs(x) for x in m]
     votes = syn_ref[0].astype(jnp.int32)
     for x in m:
@@ -308,9 +332,10 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
             m2 = jnp.zeros_like(m1)  # sole edge: empty leave-one-out
         for k in range(d):
             other = jnp.where(pos == k, m2, m1)
-            res = jnp.maximum(other - jnp.float32(beta), 0.0)
+            res = jnp.maximum(
+                jnp.float32(alpha) * other - jnp.float32(beta), 0.0)
             is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
-            out_ref[k] = jnp.where(is_neg, -res, res).astype(out_ref.dtype)
+            _store_msg(out_ref, k, jnp.where(is_neg, -res, res), qscale)
     else:
         ext = a[0]
         for x in a[1:]:
@@ -323,7 +348,8 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
 
 def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
                  emit_bits: bool, alg: str, clamp: float, block_start: int,
-                 phi_pre: float = PRE_THRESHOLD, with_fresh: bool = False):
+                 phi_pre: float = PRE_THRESHOLD, with_fresh: bool = False,
+                 qscale: float = 0.0):
     """Grouped variable-node update; refs = d slots, llr, prev-alias (ANY),
     (fresh [8, lb] f32), out msgs [d, T, lb], (bits [1, T, lb]), scratch.
 
@@ -338,8 +364,9 @@ def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
     out_bits = refs[r * d + 3 + wf] if emit_bits else None
     scratch = refs[r * d + 3 + wf + (1 if emit_bits else 0)]
     i = pl.program_id(0)
+    inv = 1.0 / qscale if qscale else 1.0
     w = [_window_flat(refs, k, tab_ref, block_start, i, d, tile, seam,
-                      scratch) for k in range(d)]
+                      scratch, inv) for k in range(d)]
     llr_t = llr_ref[0].astype(jnp.float32)
     total = llr_t
     for x in w:
@@ -360,8 +387,7 @@ def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
             if with_fresh:
                 pre = jnp.where(fr, llr_t, pre)
         if alg == "min-sum":
-            out_msgs[k] = jnp.clip(pre, -clamp, clamp).astype(
-                out_msgs.dtype)
+            _store_msg(out_msgs, k, jnp.clip(pre, -clamp, clamp), qscale)
         else:
             out_msgs[k] = jnp.copysign(
                 _phi_abs_f32(jnp.abs(pre), pre=phi_pre), pre
@@ -402,7 +428,8 @@ def _alias_index(num_prefetch: int, operand_pos: int) -> int:
 
 def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
                     alg: str = "sum-product", beta: float = 0.0,
-                    phi_pre: float = PRE_THRESHOLD):
+                    phi_pre: float = PRE_THRESHOLD, alpha=1.0,
+                    qscale: float = 4.0):
     """msgs_v [nb, Z, B] (vn order), syn3 [R, Z, B] -> r_c [nb, Z, B]
     (check order); r_c_prev is donated and partially overwritten group by
     group."""
@@ -436,7 +463,9 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
         )
         r_c = pl.pallas_call(
             partial(_cn_kernel_g, d=d, tile=T, seam=tables.seam, alg=alg,
-                    beta=beta, block_start=g.block_start, phi_pre=phi_pre),
+                    beta=beta, block_start=g.block_start, phi_pre=phi_pre,
+                    alpha=resolve_minsum_alpha(alpha, d),
+                    qscale=qscale if msgs_v.dtype == jnp.int8 else 0.0),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((tables.nbc_pad, Z, B),
                                            msgs_v.dtype),
@@ -452,7 +481,8 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
 def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
                     emit_bits: bool, alg: str = "sum-product",
                     clamp: float = 64.0, phi_pre: float = PRE_THRESHOLD,
-                    fresh8=None, include_d1: bool = False):
+                    fresh8=None, include_d1: bool = False,
+                    qscale: float = 4.0):
     """r_c [nb, Z, B] -> msgs_v [nb, Z, B] (+ per-group bits concat
     [C, Z, B] int8 when emit_bits); msgs_prev donated.
 
@@ -522,7 +552,8 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
             partial(_vn_kernel_g, d=d, tile=T, seam=tables.seam,
                     emit_bits=emit_bits, alg=alg, clamp=clamp,
                     block_start=g.block_start, phi_pre=phi_pre,
-                    with_fresh=with_fresh),
+                    with_fresh=with_fresh,
+                    qscale=qscale if r_c.dtype == jnp.int8 else 0.0),
             grid_spec=grid_spec,
             out_shape=out_shape,
             input_output_aliases={
@@ -584,12 +615,22 @@ def parity_pass_grouped(bits, syn3, tables: GroupedQCPallasTables):
 def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
                              dtype=jnp.float32, alg: str = "sum-product",
                              phi_pre: float = PRE_THRESHOLD,
-                             clamp: float = 64.0):
+                             clamp: float = 64.0, qscale: float = 4.0):
     """[E, B] fresh vn-order flat messages from sorted 2-D LLRs."""
     B = llr2d.shape[-1]
     llr = llr2d.reshape(tables.C, tables.Z, B).astype(jnp.float32)
     if alg == "min-sum":
-        p = llr
+        if dtype == jnp.int8:
+            # int8 fixed-point init: quantize(clip(llr)) for EVERY column
+            # — matches _store_msg's write in the VN kernel for any degree
+            # (for d==1 pre = llr exactly), so the degree-1 launch skip
+            # and the fresh-lane reset stay bit-identical
+            from ldpc_decoder_tpu.ops.qc_decode import quantize_msgs
+
+            p32 = jnp.clip(llr, -clamp, clamp)
+            p = quantize_msgs(p32, qscale)
+        else:
+            p = llr
     else:
         p = jnp.copysign(_phi_abs_f32(jnp.abs(llr), pre=phi_pre), llr)
     # vn block u belongs to sorted column: expand per col group, with
@@ -601,7 +642,7 @@ def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
             parts.append(jnp.zeros(
                 (g.block_start - pos, tables.Z, B), jnp.float32))
         cols = p[g.node_start : g.node_start + g.count]
-        if alg == "min-sum" and g.degree == 1:
+        if alg == "min-sum" and g.degree == 1 and dtype != jnp.int8:
             # the degree-1 launch skip retains these init values as the
             # outgoing messages for all non-emit iterations — they must
             # equal what the VN kernel writes (clip(llr), _vn_kernel_g)
@@ -622,13 +663,14 @@ def init_messages_qc_grouped(llr2d, tables: GroupedQCPallasTables,
     return (m.reshape(tables.nbv_pad * tables.Z, B), rc)
 
 
-@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre"))
+@partial(jax.jit, static_argnames=("k", "alg", "beta", "clamp", "phi_pre",
+                                   "alpha", "qscale"))
 def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
                               tables: GroupedQCPallasTables, k: int,
                               alg: str = "sum-product", beta: float = 0.0,
                               clamp: float = 64.0,
                               phi_pre: float = PRE_THRESHOLD,
-                              fresh=None):
+                              fresh=None, alpha=1.0, qscale: float = 4.0):
     """2-D-interface twin of run_iterations_qc_pallas for irregular bases.
 
     ``msgs2d`` is the (msgs_v, r_c) pair from init_messages_qc_grouped;
@@ -646,15 +688,21 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
     B = msgs2d.shape[-1]
     Z = tables.Z
     msgs = msgs2d.reshape(tables.nbv_pad, Z, B)
-    llr = llr2d.reshape(tables.C, Z, B).astype(msgs.dtype)
+    # LLR staging dtype: bf16 floor for sub-byte message dtypes (fp8
+    # messages keep bf16 LLRs — same ldt rule as run_iterations_qc_pallas)
+    ldt = (jnp.bfloat16 if jnp.dtype(msgs.dtype).itemsize == 1
+           else msgs.dtype)
+    llr = llr2d.reshape(tables.C, Z, B).astype(ldt)
     syn = syn2d.reshape(tables.R, Z, B)
     r_c0 = rc2d.reshape(tables.nbc_pad, Z, B)
 
     def body(_, carry):
         m, rc = carry
-        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta, phi_pre)
+        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta, phi_pre, alpha,
+                             qscale)
         m, _ = vn_pass_grouped(rc, llr, m, tables, emit_bits=False,
-                               alg=alg, clamp=clamp, phi_pre=phi_pre)
+                               alg=alg, clamp=clamp, phi_pre=phi_pre,
+                               qscale=qscale)
         return m, rc
 
     fresh8 = None
@@ -664,17 +712,21 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
     lo = 0
     r_c = r_c0
     if fresh is not None and k > 1:
-        r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta, phi_pre)
+        r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta, phi_pre,
+                              alpha, qscale)
         msgs, _ = vn_pass_grouped(r_c, llr, msgs, tables, emit_bits=False,
                                   alg=alg, clamp=clamp, phi_pre=phi_pre,
-                                  fresh8=fresh8, include_d1=True)
+                                  fresh8=fresh8, include_d1=True,
+                                  qscale=qscale)
         lo = 1
     msgs, r_c = jax.lax.fori_loop(lo, k - 1, body, (msgs, r_c))
-    r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta, phi_pre)
+    r_c = cn_pass_grouped(msgs, syn, r_c, tables, alg, beta, phi_pre, alpha,
+                          qscale)
     msgs, bits = vn_pass_grouped(
         r_c, llr, msgs, tables, emit_bits=True, alg=alg, clamp=clamp,
         phi_pre=phi_pre,
-        fresh8=fresh8 if (fresh is not None and k == 1) else None)
+        fresh8=fresh8 if (fresh is not None and k == 1) else None,
+        qscale=qscale)
     violated = parity_pass_grouped(bits, syn, tables)
     return (
         (msgs.reshape(tables.nbv_pad * Z, B),
@@ -684,12 +736,14 @@ def run_iterations_qc_grouped(msgs2d, llr2d, syn2d,
     )
 
 
-@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre"))
+@partial(jax.jit, static_argnames=("b", "alg", "beta", "clamp", "phi_pre",
+                                   "alpha", "qscale"))
 def burst_iterations_qc_grouped(msgs2d, llr2d, syn2d,
                                 tables: GroupedQCPallasTables, b: int,
                                 alg: str = "sum-product", beta: float = 0.0,
                                 clamp: float = 64.0,
-                                phi_pre: float = PRE_THRESHOLD):
+                                phi_pre: float = PRE_THRESHOLD, alpha=1.0,
+                                qscale: float = 4.0):
     """``b`` plain BP iterations with no hard-decision emit and no parity
     check — the delayed-first-parity-check phase (DynamicParams.
     num_iter_first_check). Bit-identical prefix of run_iterations_qc_grouped:
@@ -705,15 +759,19 @@ def burst_iterations_qc_grouped(msgs2d, llr2d, syn2d,
     B = msgs2d.shape[-1]
     Z = tables.Z
     msgs = msgs2d.reshape(tables.nbv_pad, Z, B)
-    llr = llr2d.reshape(tables.C, Z, B).astype(msgs.dtype)
+    ldt = (jnp.bfloat16 if jnp.dtype(msgs.dtype).itemsize == 1
+           else msgs.dtype)
+    llr = llr2d.reshape(tables.C, Z, B).astype(ldt)
     syn = syn2d.reshape(tables.R, Z, B)
     r_c = rc2d.reshape(tables.nbc_pad, Z, B)
 
     def body(_, carry):
         m, rc = carry
-        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta, phi_pre)
+        rc = cn_pass_grouped(m, syn, rc, tables, alg, beta, phi_pre, alpha,
+                             qscale)
         m, _ = vn_pass_grouped(rc, llr, m, tables, emit_bits=False,
-                               alg=alg, clamp=clamp, phi_pre=phi_pre)
+                               alg=alg, clamp=clamp, phi_pre=phi_pre,
+                               qscale=qscale)
         return m, rc
 
     msgs, r_c = jax.lax.fori_loop(0, b, body, (msgs, r_c))

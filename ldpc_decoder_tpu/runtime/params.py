@@ -35,22 +35,60 @@ class StaticParams:
     # kernel implementation for QC codes: "auto" (fused Pallas kernels when
     # the base matrix is regular, else XLA), "pallas", or "xla"
     kernel_impl: str = "auto"
+    # recover undeclared circulant structure from plain alist codes
+    # (codes/qc.detect_qc_structure): production codes (5G NR, 802.11,
+    # DVB-S2, CCSDS) are quasi-cyclic, and detection upgrades them from
+    # the generic gather path to the fused rotation kernels with no user
+    # action. Costs one O(E·divisors) numpy pass at construction.
+    qc_autodetect: bool = True
     # check-node rule: "sum-product" (exact tanh rule in the φ domain,
     # matching the reference, flood.cu:88-114) or "min-sum" (offset
     # two-minimum approximation; no transcendentals, higher throughput,
     # ~0.05-0.1 dB threshold loss; QC paths only)
     algorithm: str = "sum-product"
-    # offset β of offset-min-sum (|out| = max(min - β, 0))
+    # offset β of offset-min-sum (|out| = max(α·min - β, 0))
     minsum_offset: float = 0.5
+    # normalization α of normalized-min-sum: a float (uniform), or a
+    # per-check-degree table {degree: α} / ((degree, α), ...) — the
+    # degree-matched correction for irregular codes; a 0 key is the
+    # fallback for unlisted degrees (ops/qc_decode.resolve_minsum_alpha)
+    minsum_alpha: float | tuple = 1.0
     # symmetric LLR clamp applied to min-sum variable messages
     minsum_clamp: float = 64.0
+    # int8 fixed-point scale (steps per LLR unit) for message_dtype
+    # "int8": messages are stored as round(m * qscale) saturated at ±127,
+    # i.e. range ±127/qscale with resolution 1/qscale (the standard
+    # hardware min-sum quantization). Must be a power of two so the
+    # dequantize multiply is exact in f32.
+    minsum_qscale: float = 4.0
 
     def __post_init__(self):
-        valid = ("float32", "bfloat16", "float8_e5m2")
+        # normalize per-degree alpha tables to a hashable tuple of pairs
+        # (jit static-arg requirement)
+        if isinstance(self.minsum_alpha, dict):
+            self.minsum_alpha = tuple(sorted(
+                (int(d), float(a)) for d, a in self.minsum_alpha.items()))
+        elif isinstance(self.minsum_alpha, (list, tuple)):
+            self.minsum_alpha = tuple(
+                (int(d), float(a)) for d, a in self.minsum_alpha)
+        valid = ("float32", "bfloat16", "float8_e5m2", "int8")
         if self.message_dtype not in valid:
             raise ValueError(
                 f"message_dtype must be one of {valid}, "
                 f"got {self.message_dtype!r}")
+        if self.message_dtype == "int8":
+            if self.algorithm != "min-sum":
+                raise ValueError(
+                    "message_dtype='int8' is fixed-point min-sum storage; "
+                    "it requires algorithm='min-sum' (the φ-domain "
+                    "sum-product messages are not linearly quantizable)")
+            import math
+
+            if (self.minsum_qscale <= 0
+                    or math.log2(self.minsum_qscale) % 1 != 0):
+                raise ValueError(
+                    f"minsum_qscale must be a positive power of two for "
+                    f"exact dequantization, got {self.minsum_qscale}")
         if self.message_dtype == "float8_e5m2":
             import warnings
 
@@ -73,6 +111,11 @@ class DynamicParams:
     # 27-30). None = backend default 1e-5 (cap ≈ 12.2) — the reference
     # CUDA backend's own hard-coded choice (flood.cu:14).
     infinity_threshold: float | None = None
+    # NB: lanes refilled by the lane-reset scheme start with one in-kernel
+    # reset iteration counted in iters_done, so a REFILLED frame gets at
+    # most num_iter_max - 1 real BP iterations (and per-frame iteration
+    # stats can overstate by up to num_iter_check_parity); initial-
+    # generation frames get the full budget (runtime/decoder.py refill)
     num_iter_max: int = 100
     # iterations between on-device parity checks / refills
     num_iter_check_parity: int = 10

@@ -34,9 +34,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from ldpc_decoder_tpu.codes.protographs import (  # noqa: E402
     p41_code,
+    p41_shipped_params,
     regular_base,
 )
-from ldpc_decoder_tpu.codes.qc import make_qc_code, write_qc_alist  # noqa: E402
+from ldpc_decoder_tpu.codes.qc import (  # noqa: E402
+    make_qc_code,
+    read_alist_params,
+    write_qc_alist,
+)
 
 
 def main():
@@ -45,11 +50,15 @@ def main():
     os.makedirs(out, exist_ok=True)
 
     path = os.path.join(out, "code_awgn_rate_0.5_thr_0.95.alist")
-    if not os.path.exists(path):
+    want = p41_shipped_params()
+    if not os.path.exists(path) or read_alist_params(path) != want:
+        # params header mismatch = stale construction under the same
+        # filename (the name encodes neither seed nor lattice) —
+        # regenerate instead of trusting it (ADVICE r3)
         print("generating flagship punctured AWGN rate-0.5 code "
               "(p41, n=1032192)...", flush=True)
         code, s = p41_code()
-        write_qc_alist(code, s, path)
+        write_qc_alist(code, s, path, params=want)
         print(f"  {path}: n={code.n_vars} checks={code.n_checks} "
               f"erased={code.n_erased_vars}")
 
@@ -59,7 +68,10 @@ def main():
         base = regular_base(16, 32, 3, 6, seed=2)
         code, s = make_qc_code(base, Z=32768, seed=1, coarse=1024,
                                fine_mod=64, min_girth=8)
-        write_qc_alist(code, s, path)
+        write_qc_alist(code, s, path,
+                       params={"base": "reg36_16x32_s2", "Z": "32768",
+                               "seed": "1", "coarse": "1024",
+                               "fine_mod": "64", "min_girth": "8"})
         print(f"  {path}: n={code.n_vars} checks={code.n_checks}")
 
     path = os.path.join(out, "code_bsc_rate_0.9_thr_0.007.alist")

@@ -30,3 +30,43 @@ def test_iteration_constrained_threshold_is_lower():
     thr_inf = pexit_threshold(base, max_iters=2000)
     thr_40 = pexit_threshold(base, max_iters=40)
     assert thr_40 < thr_inf
+
+
+def test_minsum_de_known_thresholds():
+    """Sampled min-sum DE reproduces the (3,6) literature thresholds:
+    plain MS ~0.82, NMS alpha=0.8 ~0.87-0.88 (vs BP 0.879)."""
+    from ldpc_decoder_tpu.codes.pexit import minsum_de_run
+
+    base = np.full((1, 2), 3)  # (3,6) protograph
+    ok, _ = minsum_de_run(base, 0.80, n_samples=4000, max_iters=150, seed=1)
+    assert ok  # plain MS converges below its ~0.825 threshold
+    ok, _ = minsum_de_run(base, 0.86, n_samples=4000, max_iters=150, seed=1)
+    assert not ok  # ...and fails above it
+    ok, _ = minsum_de_run(base, 0.86, alpha=0.8, n_samples=4000,
+                          max_iters=200, seed=1)
+    assert ok  # normalization recovers most of the BP gap
+
+
+def test_minsum_de_sum_product_mode_matches_ga():
+    """The sampled DE's exact-BP mode agrees with the GA P-EXIT threshold
+    (cross-validation of both implementations)."""
+    from ldpc_decoder_tpu.codes.pexit import minsum_de_run
+
+    base = np.full((1, 2), 3)
+    ok, _ = minsum_de_run(base, 0.87, alg="sum-product", n_samples=4000,
+                          max_iters=250, seed=1)
+    assert ok
+    ok, _ = minsum_de_run(base, 0.90, alg="sum-product", n_samples=4000,
+                          max_iters=250, seed=1)
+    assert not ok
+
+
+def test_minsum_de_per_degree_alpha_and_puncture():
+    from ldpc_decoder_tpu.codes.pexit import minsum_de_run
+    from ldpc_decoder_tpu.codes.protographs import P41_BASE
+
+    # per-degree alpha table runs and punctured columns are honored
+    ok, _ = minsum_de_run(P41_BASE, 0.85, (6,),
+                          alpha=((3, 1.0), (6, 0.9), (0, 0.875)),
+                          n_samples=4000, max_iters=150, seed=1)
+    assert ok

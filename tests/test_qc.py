@@ -86,7 +86,11 @@ def test_qc_decode_matches_general_path():
     sp = StaticParams(max_log_parallel_factor_user=3)
     dyn = DynamicParams(num_iter_max=40, num_iter_check_parity=5,
                         loading_factor=2)
-    dec_gen = LDPCDecoder(code, ch, sp)
+    # qc_autodetect off: this test deliberately drives the GENERAL path
+    # on a QC code to cross-check the two implementations
+    from dataclasses import replace
+
+    dec_gen = LDPCDecoder(code, ch, replace(sp, qc_autodetect=False))
     dec_qc = LDPCDecoder(code, ch, sp, qc=s)
     n = dec_gen.parallel_factor() * dyn.loading_factor
     batch = create_data(code, ch, 0, n)
@@ -147,3 +151,55 @@ def test_qc_device_pool_and_decode():
     )
     errors = np.asarray(count_bit_errors(results, pool.ref_packed))
     assert errors.sum() == 0
+
+
+def test_qc_alist_params_header(tmp_path):
+    from ldpc_decoder_tpu.codes.qc import read_alist_params
+
+    code, s = make_qc_code(BASE_36, Z=32, seed=3)
+    path = str(tmp_path / "qc_params.alist")
+    params = {"base": "test36", "Z": "32", "seed": "3"}
+    write_qc_alist(code, s, path, params=params)
+    assert read_alist_params(path) == params
+    # the header must not break parsing (reference parser skips comments)
+    code2, s2 = load_qc_alist(path)
+    assert s2 is not None and s2.Z == 32
+    np.testing.assert_array_equal(s.edge_shift, s2.edge_shift)
+    # files without the header report None
+    write_qc_alist(code, s, path)
+    assert read_alist_params(path) is None
+
+
+def test_qc_autodetection_upgrades_plain_alist():
+    """A QC code loaded WITHOUT structure metadata (plain alist) is
+    auto-detected and decoded through the QC fast path
+    (codes/qc.detect_qc_structure; StaticParams.qc_autodetect)."""
+    from ldpc_decoder_tpu.codes.qc import detect_qc_structure
+    from ldpc_decoder_tpu.ops.qc_decode import QCDecodeTables
+    from ldpc_decoder_tpu.ops import qc_pallas, qc_pallas_grouped
+
+    code, s = make_qc_code(BASE_36, Z=256, seed=3, coarse=64, fine_mod=4)
+    det = detect_qc_structure(code)
+    assert det is not None and det.Z == 256
+    np.testing.assert_array_equal(
+        np.sort(det.edge_shift), np.sort(s.edge_shift))
+    ch = BIAWGNChannel(0.7)
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=3))
+    assert isinstance(
+        dec.tables,
+        (QCDecodeTables, qc_pallas.QCPallasTables,
+         qc_pallas_grouped.GroupedQCPallasTables))
+    dyn = DynamicParams(num_iter_max=40, num_iter_check_parity=5,
+                        loading_factor=2)
+    n = dec.parallel_factor() * 2
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
+    # random (non-QC) codes are left on the general path
+    from ldpc_decoder_tpu.codes.generate import make_regular_code
+    from ldpc_decoder_tpu.ops.decode import DecodeTables
+
+    rnd = make_regular_code(1024, 3, 6, seed=5)
+    dec2 = LDPCDecoder(rnd, ch, StaticParams(max_log_parallel_factor_user=2))
+    assert isinstance(dec2.tables, DecodeTables)

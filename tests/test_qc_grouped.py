@@ -96,6 +96,57 @@ def test_grouped_minsum_end_to_end():
     assert errors == 0
 
 
+@pytest.mark.parametrize("alpha", [0.8125, ((6, 0.875), (7, 0.8125), (0, 1.0))])
+def test_grouped_normalized_minsum_matches_xla(alpha):
+    """Normalized min-sum (uniform and degree-matched α): Pallas grouped
+    kernels stay bit-identical to the XLA oracle."""
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=256, seed=5)
+    ch = BIAWGNChannel(0.7)
+    dec_pl, dec_xla = _decoders(code, s, ch, algorithm="min-sum",
+                                minsum_offset=0.0, minsum_alpha=alpha)
+    n = 8
+    batch = create_data(code, ch, 0, n)
+    t = dec_pl.tables
+    llr2d = jnp.asarray(
+        ch.llr_np(batch.values)[np.asarray(t.vn_order)][:, :n])
+    syn2d = jnp.asarray(batch.syndromes[np.asarray(t.cn_order)][:, :n])
+    m_pl = dec_pl._init_messages(llr2d, t)
+    m_xla = dec_xla._init_messages(llr2d, dec_xla.tables)
+    for k in (1, 3):
+        _, bits_pl, viol_pl = dec_pl._run_iterations(m_pl, llr2d, syn2d, t, k)
+        _, bits_xla, viol_xla = dec_xla._run_iterations(
+            m_xla, llr2d, syn2d, dec_xla.tables, k)
+        np.testing.assert_array_equal(
+            np.asarray(bits_pl), np.asarray(bits_xla))
+        np.testing.assert_array_equal(
+            np.asarray(viol_pl), np.asarray(viol_xla))
+    # alpha != 1 must actually change the result vs plain min-sum
+    dec_ms, _ = _decoders(code, s, ch, algorithm="min-sum",
+                          minsum_offset=0.0)
+    m_ms = dec_ms._init_messages(llr2d, dec_ms.tables)
+    msgs_a, _, _ = dec_pl._run_iterations(m_pl, llr2d, syn2d, t, 2)
+    msgs_1, _, _ = dec_ms._run_iterations(m_ms, llr2d, syn2d,
+                                          dec_ms.tables, 2)
+    assert not np.array_equal(np.asarray(msgs_a[0]), np.asarray(msgs_1[0]))
+
+
+def test_grouped_normalized_minsum_end_to_end():
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=512, seed=9)
+    ch = BIAWGNChannel(0.65)
+    dec, _ = _decoders(code, s, ch, algorithm="min-sum",
+                       message_dtype="bfloat16", minsum_offset=0.0,
+                       minsum_alpha=0.8125)
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=1)
+    n = dec.parallel_factor()
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
+
+
 def test_ar4ja_punctured_end_to_end():
     """AR4JA with its punctured column: erased variables get LLR 0 and are
     still recovered (the reference's #e= machinery, main.cpp:529-530)."""
@@ -175,3 +226,61 @@ def test_grouped_fresh_lane_reset_matches_xla():
     m_true = dec_pl._init_messages(llr2d, t)
     _, bits_b, _ = dec_pl._run_iterations(m_true, llr2d, syn2d, t, 2)
     np.testing.assert_array_equal(np.asarray(bits_a), np.asarray(bits_b))
+
+
+def test_int8_minsum_matches_xla():
+    """int8 fixed-point min-sum: Pallas grouped kernels bit-identical to
+    the XLA oracle (hard decisions + parity flags), LLR state in the
+    decoder's bf16 storage dtype as _init_state provides it."""
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=256, seed=5)
+    ch = BIAWGNChannel(0.65)
+    dec_pl, dec_xla = _decoders(code, s, ch, algorithm="min-sum",
+                                message_dtype="int8", minsum_offset=0.4,
+                                minsum_alpha=0.95)
+    n = 8
+    batch = create_data(code, ch, 0, n)
+    t = dec_pl.tables
+    llr2d = jnp.asarray(
+        ch.llr_np(batch.values)[np.asarray(t.vn_order)][:, :n]
+    ).astype(dec_pl._llr_dtype)
+    syn2d = jnp.asarray(batch.syndromes[np.asarray(t.cn_order)][:, :n])
+    m_pl = dec_pl._init_messages(llr2d, t, dtype=jnp.int8)
+    m_xla = dec_xla._init_messages(llr2d, dec_xla.tables, dtype=jnp.int8)
+    assert m_pl[0].dtype == jnp.int8 and m_xla.dtype == jnp.int8
+    for k in (1, 3):
+        _, bits_pl, viol_pl = dec_pl._run_iterations(m_pl, llr2d, syn2d, t, k)
+        _, bits_xla, viol_xla = dec_xla._run_iterations(
+            m_xla, llr2d, syn2d, dec_xla.tables, k)
+        np.testing.assert_array_equal(
+            np.asarray(bits_pl), np.asarray(bits_xla))
+        np.testing.assert_array_equal(
+            np.asarray(viol_pl), np.asarray(viol_xla))
+
+
+def test_int8_minsum_end_to_end():
+    """int8 offset-min-sum decodes clean through the full runtime
+    (retire/refill, lane-reset fresh path) on both kernel impls."""
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=512, seed=9)
+    ch = BIAWGNChannel(0.65)
+    dec, _ = _decoders(code, s, ch, algorithm="min-sum",
+                       message_dtype="int8", minsum_offset=0.4,
+                       minsum_alpha=0.95)
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=2)
+    n = dec.parallel_factor() * 2
+    batch = create_data(code, ch, 0, n)
+    res, _ = dec.decode(dyn, n, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ res).sum()
+    assert errors == 0
+
+
+def test_int8_requires_minsum():
+    base, _ = ru_irregular_base(3, seed=4)
+    code, s = make_qc_code(base, Z=256, seed=5)
+    with pytest.raises(ValueError, match="min-sum"):
+        StaticParams(message_dtype="int8")
+    with pytest.raises(ValueError, match="power of two"):
+        StaticParams(message_dtype="int8", algorithm="min-sum",
+                     minsum_qscale=3.0)

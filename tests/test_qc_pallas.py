@@ -183,13 +183,20 @@ def test_seam_mode_end_to_end():
     assert errors == 0
 
 
-def test_minsum_pallas_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("sp_extra", [
+    dict(minsum_offset=0.5),
+    dict(minsum_offset=0.0, minsum_alpha=0.8125),  # normalized min-sum
+])
+def test_minsum_pallas_matches_xla(sp_extra):
     import jax.numpy as jnp
 
     code, s = make_qc_code(BASE_36, Z=512, seed=8, coarse=128, fine_mod=4)
     ch = BIAWGNChannel(0.8)
     sp = dict(max_log_parallel_factor_user=3, algorithm="min-sum",
-              minsum_offset=0.5)
+              **sp_extra)
     dec_pl = LDPCDecoder(code, ch, StaticParams(kernel_impl="pallas", **sp),
                          qc=s)
     dec_xla = LDPCDecoder(code, ch, StaticParams(kernel_impl="xla", **sp),

@@ -262,3 +262,45 @@ def test_profile_phases_and_log2_output():
     assert "Phase timings" in text
     assert "bp_iteration" in text
     assert "retire_refill_pack" in text
+
+
+def test_decode_streamed_matches_serial():
+    """The double-buffered host-fed pipeline (decode_streamed) yields
+    results bit-identical to per-chunk decode() calls, in order, and
+    keeps the pipeline depth (dispatch of chunk i+1 happens before chunk
+    i's results are fetched)."""
+    code = small_code()
+    ch = BIAWGNChannel(0.65)
+    dec = LDPCDecoder(code, ch, StaticParams(max_log_parallel_factor_user=3))
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=2)
+    n_chunk = dec.parallel_factor() * 2
+    batches = [create_data(code, ch, i * n_chunk, n_chunk)
+               for i in range(3)]
+
+    # serial reference
+    serial = [dec.decode(dyn, n_chunk, b.values, b.syndromes)
+              for b in batches]
+
+    order = []
+
+    def chunks():
+        for i, b in enumerate(batches):
+            order.append(("submit", i))
+            yield b.values, b.syndromes
+
+    streamed = []
+    for i, (res, st) in enumerate(
+            dec.decode_streamed(dyn, chunks())):
+        order.append(("yield", i))
+        streamed.append((res, st))
+
+    assert len(streamed) == 3
+    for (res_s, st_s), (res_r, st_r), b in zip(streamed, serial, batches):
+        np.testing.assert_array_equal(res_s, res_r)
+        np.testing.assert_array_equal(st_s.iterations, st_r.iterations)
+        errors = np.bitwise_count(b.ref_bits_packed() ^ res_s).sum()
+        assert errors == 0
+    # pipeline structure: chunk 1 was submitted (uploaded + dispatched)
+    # before chunk 0's results were fetched (depth-2 double buffering)
+    assert order.index(("submit", 1)) < order.index(("yield", 0))
