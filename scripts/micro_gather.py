@@ -29,13 +29,16 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
 def timeit(fn, *args, n=10, warmup=2):
+    # NB round-4 fix: axon elides dispatches whose outputs are never
+    # fetched (CLAUDE.md) — fetch a tiny device slice to force execution;
+    # chained variants below additionally serialize the work
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out[:1, :1])
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out[:1, :1])
     return (time.perf_counter() - t0) / n
 
 
@@ -44,19 +47,30 @@ def main():
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     G = int(sys.argv[3]) if len(sys.argv) > 3 else 512  # rows per grid step
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.standard_normal((N, B)).astype(np.float32))
+    # generate src ON DEVICE: a host 3 GB array would take ~50 min to
+    # upload over the axon tunnel (~60 MB/s)
+    src = jax.block_until_ready(
+        jax.jit(lambda k: jax.random.normal(k, (N, B), jnp.float32))(
+            jax.random.PRNGKey(0)))
     idx = jnp.asarray(rng.permutation(N).astype(np.int32))
     gb = 2 * N * B * 4 / 1e9
 
-    take = jax.jit(lambda s, i: jnp.take(s, i, axis=0))
-    t = timeit(take, src, idx)
-    print(f"jnp.take   random perm: {t*1e3:8.2f} ms  {gb/t:6.1f} GB/s "
-          f"({t/N*1e9:.1f} ns/row)", flush=True)
+    # chain R gathers inside one jit so none can be elided or overlapped
+    R = 8
+
+    def chained(s, i):
+        return jax.lax.fori_loop(
+            0, R, lambda _, x: jnp.take(x, i, axis=0), s)
+
+    take_c = jax.jit(chained)
+    t = timeit(take_c, src, idx, n=3) / R
+    print(f"jnp.take   random perm (chained x{R}): {t*1e3:8.2f} ms  "
+          f"{gb/t:6.1f} GB/s ({t/N*1e9:.1f} ns/row)", flush=True)
 
     srt = jnp.sort(idx)
-    t = timeit(take, src, srt)
-    print(f"jnp.take   sorted idx : {t*1e3:8.2f} ms  {gb/t:6.1f} GB/s",
-          flush=True)
+    t = timeit(take_c, src, srt, n=3) / R
+    print(f"jnp.take   sorted idx  (chained x{R}): {t*1e3:8.2f} ms  "
+          f"{gb/t:6.1f} GB/s", flush=True)
 
     UNROLL = int(os.environ.get("GATHER_UNROLL", "0"))
 
@@ -84,7 +98,7 @@ def main():
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // G,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # src stays HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # src stays HBM
         out_specs=pl.BlockSpec((G, B), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

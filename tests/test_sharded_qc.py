@@ -52,9 +52,9 @@ def test_sharded_seam_at_scale():
     )
 
     code, s = make_protograph_code_two_stage(
-        P41_BASE, P41_PUNCTURED_COLS, m=4, Z=4608, seed=3, coarse=512,
+        P41_BASE, P41_PUNCTURED_COLS, m=3, Z=3072, seed=3, coarse=512,
         fine_mod=64)
-    assert code.n_vars == 129024
+    assert code.n_vars == 64512
     mesh = make_batch_mesh(4)
     ch = BIAWGNChannel(0.72)  # well below threshold: converges in ~10 iters
     dec = LDPCDecoder(
@@ -67,7 +67,7 @@ def test_sharded_seam_at_scale():
                         loading_factor=2)
     b = dec.parallel_factor()
     assert b >= 2  # multiple lanes per device
-    n = b * dyn.loading_factor * 2 * 4  # multiple pool frames per lane
+    n = b * dyn.loading_factor * 4  # multiple pool frames per lane
     batch = create_data(code, ch, 0, n)
     results, stats = dec.decode_sharded(
         dyn, n, batch.values, batch.syndromes, mesh)
