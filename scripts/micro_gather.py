@@ -72,6 +72,25 @@ def main():
     print(f"jnp.take   sorted idx  (chained x{R}): {t*1e3:8.2f} ms  "
           f"{gb/t:6.1f} GB/s", flush=True)
 
+    # row-bound or byte-bound? sweep (dtype, lane width): if ns/row is
+    # ~constant across B and dtype the gather is descriptor/row-bound
+    # (the general path's floor is then 2E rows/iter no matter the
+    # message dtype); if GB/s is ~constant it is byte-bound and bf16
+    # halves the cost (round-4, VERDICT r3 #3 evidence)
+    if os.environ.get("GATHER_SWEEP", "1") != "0":
+        for dt, bw in [(jnp.float32, 128), (jnp.float32, 256),
+                       (jnp.float32, 512), (jnp.bfloat16, 256),
+                       (jnp.bfloat16, 512)]:
+            s2 = jax.block_until_ready(jax.jit(
+                lambda k: jax.random.normal(k, (N, bw), jnp.float32)
+                .astype(dt))(jax.random.PRNGKey(1)))
+            t = timeit(take_c, s2, idx, n=3) / R
+            gb2 = 2 * N * bw * jnp.dtype(dt).itemsize / 1e9
+            print(f"jnp.take {jnp.dtype(dt).name:9s} B={bw:4d}: "
+                  f"{t*1e3:8.2f} ms  {gb2/t:6.1f} GB/s "
+                  f"({t/N*1e9:.1f} ns/row)", flush=True)
+            del s2
+
     UNROLL = int(os.environ.get("GATHER_UNROLL", "0"))
 
     def kernel(idx_ref, src_ref, out_ref, scratch, sem):
