@@ -91,6 +91,17 @@ class DecodeStats:
         return self.elapsed_seconds / denom if denom else 0.0
 
 
+def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Append zero rows up to ``rows`` (the Pallas general path pads node
+    spaces to kernel-tile multiples; other paths are no-ops here)."""
+    pad = rows - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+    )
+
+
 def _pack_bits_natural(bits_sorted: jnp.ndarray, vn_pos: jnp.ndarray,
                        n_words: int,
                        block_perm: tuple[int, ...] | None = None,
@@ -234,10 +245,28 @@ class LDPCDecoder:
                 raise ValueError(
                     "min-sum is implemented on the QC paths; pass qc="
                 )
-            self.tables = ops.DecodeTables.from_compiled(self.cc)
-            self._run_iterations = ops.run_iterations
-            self._run_burst = ops.burst_iterations
-            self._init_messages = ops.init_messages
+            impl = self.params.kernel_impl
+            # the Pallas general path streams the node updates ~10x
+            # faster than the XLA bucket chain (round-4 breakdown,
+            # ops/general_pallas.py docstring); "auto" selects it on TPU
+            # only — on CPU the kernels would run in interpret mode
+            # (pass kernel_impl="pallas" explicitly to test that)
+            use_gp = impl == "pallas" or (
+                impl == "auto" and jax.default_backend() == "tpu"
+            )
+            if use_gp and self.params.message_dtype in ("float32",
+                                                        "bfloat16"):
+                from ldpc_decoder_tpu.ops import general_pallas as gp
+
+                self.tables = gp.GeneralPallasTables.from_compiled(self.cc)
+                self._run_iterations = gp.run_iterations_general
+                self._run_burst = gp.burst_iterations_general
+                self._init_messages = gp.init_messages_general
+            else:
+                self.tables = ops.DecodeTables.from_compiled(self.cc)
+                self._run_iterations = ops.run_iterations
+                self._run_burst = ops.burst_iterations
+                self._init_messages = ops.init_messages
         self.msg_dtype = {
             "bfloat16": jnp.bfloat16,
             "float8_e5m2": jnp.float8_e5m2,
@@ -297,6 +326,8 @@ class LDPCDecoder:
             GroupedQCPallasTables,
         )
 
+        from ldpc_decoder_tpu.ops.general_pallas import GeneralPallasTables
+
         if isinstance(self.tables, GroupedQCPallasTables):
             ep = (self.tables.nbv_pad + self.tables.nbc_pad) * self.tables.Z
             per_lane = (ep + e) * msg_bytes + 3 * nv * 4 + nc
@@ -304,6 +335,16 @@ class LDPCDecoder:
             # fused kernels materialize only msgs_v + r_c (+ one pipeline
             # margin) in the message dtype, plus llr/totals in fp32
             per_lane = 3 * e * msg_bytes + 3 * nv * 4 + nc
+        elif isinstance(self.tables, GeneralPallasTables):
+            # Pallas general path: msgs_v state + the gather/kernel temps
+            # m_c, r_c, r_v (XLA frees each before the next materializes,
+            # but the row-gather outputs cannot alias their sources) plus
+            # bf16 llr, int8 bits/syn — row-bound gathers make extra
+            # lanes nearly free, so size B as large as HBM allows
+            e = max(self.tables.ev_pad, self.tables.ec_pad)
+            per_lane = 4 * e * msg_bytes + 4 * self.tables.nv_pad + (
+                2 * self.tables.nc_pad
+            )
         else:
             # XLA path: count 3 edge-sized fp32 temps (r_c, r_v/t_edge,
             # new msgs) on top of the resident message buffers
@@ -384,9 +425,13 @@ class LDPCDecoder:
             vals = jnp.take(pool_values, safe, axis=1)  # [n_vars, B]
             llr_new = (vals if input_is_llr
                        else self.channel.llr_from_channel(vals))
+            # pool rows are the real sorted nodes; the Pallas general
+            # path's padded node layout appends alignment rows
+            llr_new = _pad_rows(llr_new, state_llr.shape[0])
             llr_new = jnp.where(tables.erased_mask_sorted, 0.0, llr_new)
             llr_new = llr_new.astype(state_llr.dtype)
-            syn_new = jnp.take(pool_syn, safe, axis=1)
+            syn_new = _pad_rows(jnp.take(pool_syn, safe, axis=1),
+                                state_syn.shape[0])
             lane = fresh[None, :]
             return (
                 jnp.where(lane, llr_new, state_llr),
@@ -809,6 +854,7 @@ class LDPCDecoder:
         safe = jnp.clip(frame_ids, 0, n_pool - 1)
         vals = jnp.take(pool_values, safe, axis=1)
         llr = vals if input_is_llr else self.channel.llr_from_channel(vals)
+        llr = _pad_rows(llr, self.tables.erased_mask_sorted.shape[0])
         llr = jnp.where(self.tables.erased_mask_sorted, 0.0, llr)
         # store LLR state in the kernels' consumption dtype: they cast it
         # per superstep anyway (~2.5 ms of pure conversion traffic per
@@ -817,7 +863,8 @@ class LDPCDecoder:
         # superstep. fp8 messages keep bf16 LLRs (channel values need
         # more mantissa than saturating messages — qc_pallas comment).
         llr = llr.astype(self._llr_dtype)
-        syn = jnp.take(pool_syn, safe, axis=1)
+        syn = _pad_rows(jnp.take(pool_syn, safe, axis=1),
+                        getattr(self.tables, "nc_pad", self.code.n_checks))
         msgs = self._init_messages(llr, self.tables, dtype=self.msg_dtype,
                                    phi_pre=phi_pre)
         return DecodeState(

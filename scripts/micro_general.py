@@ -25,7 +25,13 @@ from ldpc_decoder_tpu.ops import decode as D  # noqa: E402
 
 
 def chain_time(fn, x0, *args, reps=6, tag=""):
-    """Chained timing: out = fn(out, *args) reps times inside jit, fetch."""
+    """Chained timing: out = fn(out, *args) reps times inside jit, fetch.
+
+    The operands (index tables included) are passed as jit ARGUMENTS, not
+    closures — closure-captured multi-MB index arrays become HLO constants
+    and stall the remote TPU compile indefinitely (measured: >12 min with
+    no output vs seconds as arguments; the decoder's run_iterations always
+    passes tables as a pytree arg, which is why it never hit this)."""
 
     def chained(x, *a):
         return jax.lax.fori_loop(0, reps, lambda _, y: fn(y, *a), x)
@@ -70,20 +76,28 @@ def main():
 
     # full iteration
     t_full = chain_time(
-        lambda m: D.bp_iteration(m, llr, syn, tables)[0], msgs,
-        tag="full bp_iteration")
+        lambda m, ll, sy, tb: D.bp_iteration(m, ll, sy, tb)[0],
+        msgs, llr, syn, tables, tag="full bp_iteration")
     # cn_update alone
     t_cn = chain_time(
-        lambda m: D.cn_update(m, syn, tables), msgs, tag="cn_update (phi)")
+        lambda m, sy, tb: D.cn_update(m, sy, tb), msgs, syn, tables,
+        tag="cn_update (phi)")
     # the two gathers alone (chained through each other)
     t_g1 = chain_time(
-        lambda m: jnp.take(m, tables.perm_c2v, axis=0), msgs,
+        lambda m, p: jnp.take(m, p, axis=0), msgs, tables.perm_c2v,
         tag="gather perm_c2v [E,B]")
     t_g2 = chain_time(
-        lambda m: jnp.take(m, tables.cn_edge_vnrow, axis=0)[:E], msgs,
-        tag="gather cn_edge_vnrow [E,B]")
-    print(f"residual (full - cn - 2 gathers): "
-          f"{(t_full - t_cn - t_g1 - t_g2)*1e3:.2f} ms", flush=True)
+        lambda m, p: jnp.take(m, p, axis=0)[:E], msgs,
+        tables.cn_edge_vnrow, tag="gather cn_edge_vnrow [E,B]")
+    # vn_totals alone (the degree-bucket segment sum)
+    def _vt(m, ll, tb):
+        t = D.vn_totals(m, ll, tb)
+        # chain through a same-shape output so fori_loop carries [E, B]
+        return m + t[:1, :].astype(m.dtype)
+
+    t_vt = chain_time(_vt, msgs, llr, tables, tag="vn_totals (seg-sum)")
+    print(f"residual (full - cn - 2 gathers - vt): "
+          f"{(t_full - t_cn - t_g1 - t_g2 - t_vt)*1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
