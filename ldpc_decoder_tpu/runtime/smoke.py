@@ -42,16 +42,22 @@ def tpu_numerics_smoke(verbose=print) -> None:
         f"on {dev} — the x>5 Taylor branch (ops/phi.py) has regressed; "
         f"decoding WILL collapse (hw tanh saturation)")
 
-    # 3. φ matches the float64 reference within fp32 tolerance across the
-    #    whole operating range (incl. the tanh/Taylor crossover at 5.0)
+    # 3. φ matches the float64 reference across the operating range
+    #    (incl. the tanh/Taylor crossover at 5.0). Error model: the v5e hw
+    #    tanh carries ~2e-5 RELATIVE error with t = tanh(x/2) near 1, so
+    #    φ = -log(t) inherits an ~2e-5 ABSOLUTE error (|dφ| = |dt|/t) —
+    #    relatively dominant exactly where φ is small (x near 5: measured
+    #    7.2e-4 rel = 1.0e-5 abs on v5e, round 4). Bound rel + abs floor.
     grid = np.concatenate([
         np.geomspace(1e-5, 4.9, 64), np.linspace(5.1, 79.0, 32)])
     got = np.asarray(jax.jit(phi_abs)(jnp.asarray(grid, jnp.float32)))
     want = phi_abs_np(grid)
-    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-300)
-    assert rel.max() < 5e-4, (
-        f"phi_abs deviates from the f64 reference by {rel.max():.2e} "
-        f"(worst at x={grid[rel.argmax()]:.4g}) on {dev}")
+    err = np.abs(got - want)
+    bad = err > want * 5e-4 + 5e-5
+    assert not bad.any(), (
+        f"phi_abs deviates from the f64 reference by abs {err[bad].max():.2e}"
+        f" (worst at x={grid[bad][np.argmax(err[bad])]:.4g}, beyond the hw-"
+        f"tanh error model rel 5e-4 + abs 5e-5) on {dev}")
 
     # 4. self-inverse roundtrip keeps the operating range stable
     mid = jnp.asarray(np.geomspace(1e-4, 11.0, 32), jnp.float32)
