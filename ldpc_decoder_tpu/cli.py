@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "QC codes only, higher throughput)")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"],
                    default="auto", help="QC decode kernel implementation")
+    p.add_argument("--first-check", type=int, default=0, metavar="ITER",
+                   help="iteration of the first parity check (0 = every "
+                   "--check-period). Skips provably-futile early checks "
+                   "when no frame can converge before ITER; a too-large "
+                   "value silently costs throughput (never correctness) — "
+                   "the harness warns when the measured min iteration "
+                   "count hits the burst boundary")
     return p
 
 
@@ -114,6 +121,7 @@ def main(argv=None) -> int:
         num_iter_check_parity=args.check_period,
         loading_factor=args.m,
         target_errors=target_errors,
+        num_iter_first_check=args.first_check,
     )
     decoder = LDPCDecoder(code, channel, static_p, qc=qc)
     report = do_test(
@@ -121,6 +129,15 @@ def main(argv=None) -> int:
         start_index=args.s, log_level=args.l, decoder=decoder,
     )
     print(report.report, end="")
+    # same guard as bench.py: frames retiring AT the first check are
+    # evidence the delayed-first-check burst may have eaten real retire
+    # opportunities, deflating throughput (correctness is unaffected)
+    if args.first_check and report.min_iter <= args.first_check:
+        print(f"WARNING: min iteration count {report.min_iter} <= "
+              f"--first-check {args.first_check}: frames retired at the "
+              f"first allowed check, so some may have converged earlier "
+              f"— the measured throughput is a lower bound; rerun with "
+              f"--first-check 0 for an untainted number", file=sys.stderr)
     return 0
 
 

@@ -1,16 +1,17 @@
-"""Probe B=512 lanes on the Pallas general path (round 4).
+"""Probe wide lane counts (B=384/512) on the Pallas general path (round 4).
 
 The general path's two row gathers are row-bound (~12-16 ns/row,
-scripts/micro_gather.py), so per-frame gather cost halves every time B
-doubles. At B=256 the measured iteration is ~96 ms (~77 ms gathers +
-~19 ms streams) = 133.3 Mb/s; if B=512 fits HBM the projection is
-~115 ms/iter -> ~220 Mb/s, ABOVE the reference's 200.3 Mb/s any-alist
-baseline. Peak live set at bf16 is ~4 edge arrays x 3.2 GB + pool
-~2.4 GB ~ 14 GB on a ~16 GB chip — this probe measures whether XLA's
-buffer assignment squeezes it in (the memory model conservatively picks
-256; override via StaticParams.device_memory_bytes).
+scripts/micro_gather.py), so per-frame gather cost shrinks as B widens.
+At B=256 the measured iteration is ~96 ms (~77 ms gathers + ~19 ms
+streams) = 133.3 Mb/s; if a wider B fits HBM the projection is
+~220 Mb/s at 512, ~170 at 384 — vs the reference's 200.3 Mb/s
+any-alist baseline.
 
-Usage: python scripts/try_gp_b512.py [sigma]
+Measured (round 4): **B=512 OOMs on the real chip** (peak live set at
+bf16 ~ 4 edge arrays x 3.2 GB + pool/llr/bits ~ 5 GB > the v5e's
+~16 GB); B=384 (3/4 of that) is the widest that fits.
+
+Usage: python scripts/try_gp_b512.py [B] [sigma]
 """
 
 import sys
@@ -28,7 +29,8 @@ def main():
     from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
     from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
-    sigma = float(sys.argv[1]) if len(sys.argv) > 1 else 0.84
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    sigma = float(sys.argv[2]) if len(sys.argv) > 2 else 0.84
     n_vars = 1 << 20
     code = make_regular_code(n_vars, 3, 6, seed=9)
     ch = BIAWGNChannel(sigma)
@@ -36,12 +38,11 @@ def main():
         code, ch,
         StaticParams(max_log_parallel_factor_user=9,
                      message_dtype="bfloat16",
-                     device_memory_bytes=34 << 30,  # force the model to 512
                      qc_autodetect=False),
     )
-    B = dec.parallel_factor()
-    print(f"B={B} (forced memory model)", flush=True)
-    assert B == 512
+    # force the lane count past the memory model (the point of the probe)
+    dec._parallel_factor = B
+    print(f"B={dec.parallel_factor()} (forced)", flush=True)
     dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
                         loading_factor=1, target_errors=15)
     n = B
@@ -71,7 +72,7 @@ def main():
           f"{stats.min_iter}, itpv={itpv:.3e}s, BER="
           f"{errors.sum()/(n_vars*n):.2e} FER(>0)={(errors>0).mean():.4f}",
           flush=True)
-    print(f"general-path B=512 decoding throughput: {mbps:.1f} Mb/s "
+    print(f"general-path B={B} decoding throughput: {mbps:.1f} Mb/s "
           f"(B=256: 133.3; reference baseline: 200.3)", flush=True)
 
 

