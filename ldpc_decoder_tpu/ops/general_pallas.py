@@ -21,6 +21,10 @@ the remote Mosaic compiler and cannot beat row-bound DMA anyway) and
 replaces every contiguous stage with fused Pallas stream kernels, then
 recovers throughput by *widening B*: row-bound gathers cost the same at
 B=256 as at B=128, so lanes are nearly free until HBM runs out.
+Measured ships: 133.3 Mb/s at B=256, **168.5 Mb/s at B=384**
+(StaticParams.parallel_factor_user=384, the widest that fits 16 GB —
+scripts/out/bench_general_r4b.log); B=512 OOMs even with the in-place
+kernel aliasing below + a bf16 pool (scripts/out/try_gp_b512*.log).
 
 Layout: **plane-major padded buckets**. For a degree-d bucket of n nodes
 (padded to ``count_pad`` rows, a multiple of the kernel tile), edge slot
@@ -306,6 +310,15 @@ def _assemble(parts, total_rows: int, starts, B: int, dtype) -> jnp.ndarray:
     return jnp.concatenate(out, axis=0)
 
 
+def _whole_array(p: PlaneBucket, total_rows: int) -> bool:
+    """True when one bucket's plane-major region IS the whole flat array
+    (regular codes) — its [d, cp, B] view is a zero-copy reshape, so the
+    kernel's edge input can donate its buffer to the same-shaped output
+    (input_output_aliases). Halves the path's live edge-array count:
+    the B=512 HBM squeeze (scripts/try_gp_b512.py)."""
+    return p.edge_start == 0 and p.degree * p.count_pad == total_rows
+
+
 def cn_update_general(
     m_c: jnp.ndarray,  # [ec_pad, B] VN→CN messages, cn plane-major order
     syn: jnp.ndarray,  # [nc_pad, B] int8 syndrome bits
@@ -319,6 +332,9 @@ def cn_update_general(
     for p in tables.cn_buckets:
         d, t, cp = p.degree, p.tile, p.count_pad
         grid = (cp // t, B // lb)
+        alias = (
+            {1: 0} if _whole_array(p, tables.ec_pad) else {}
+        )
         out = pl.pallas_call(
             _cn_kernel(high, phi_pre, m_c.dtype),
             grid=grid,
@@ -332,6 +348,7 @@ def cn_update_general(
             out_shape=jax.ShapeDtypeStruct((d, cp, B), m_c.dtype),
             compiler_params=_compiler_params(len(grid)),
             interpret=_interpret(),
+            input_output_aliases=alias,
         )(syn, _bucket_edges(m_c, p))
         parts.append(out.reshape(d * cp, B))
     return _assemble(parts, tables.ec_pad,
@@ -355,6 +372,11 @@ def vn_update_general(
     for p in tables.vn_buckets:
         d, t, cp = p.degree, p.tile, p.count_pad
         grid = (cp // t, B // lb)
+        alias = (
+            {1: 0}
+            if _whole_array(p, tables.ev_pad) and r_v.dtype == dtype
+            else {}
+        )
         out, bits = pl.pallas_call(
             _vn_kernel(high, phi_pre, dtype),
             grid=grid,
@@ -374,6 +396,7 @@ def vn_update_general(
             ],
             compiler_params=_compiler_params(len(grid)),
             interpret=_interpret(),
+            input_output_aliases=alias,
         )(llr, _bucket_edges(r_v, p))
         parts.append(out.reshape(d * cp, B))
         bit_parts.append(bits)

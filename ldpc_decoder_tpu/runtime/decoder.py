@@ -314,11 +314,15 @@ class LDPCDecoder:
     def _choose_parallel_factor(self) -> int:
         """Largest power-of-two lane count fitting device memory, capped by
         the user's -p (reference memory model, ldpc_decoder_gpu.cu:72-99).
+        StaticParams.parallel_factor_user bypasses the model entirely
+        (exact count, e.g. the general path's measured B=384 sweet spot).
 
         Per-lane cost: messages E*dtype + one gathered copy (r_c) in the
         same dtype + llr/totals/edge-temp in fp32 + syndrome byte rows.
         Pool frames (loading_factor per lane) add raw values + syndromes.
         """
+        if self.params.parallel_factor_user is not None:
+            return int(self.params.parallel_factor_user)
         msg_bytes = jnp.dtype(self.msg_dtype).itemsize
         e, nv, nc = self.code.n_edges, self.code.n_vars, self.code.n_checks
         from ldpc_decoder_tpu.ops.qc_pallas import QCPallasTables
@@ -852,7 +856,13 @@ class LDPCDecoder:
         frame_ids = jnp.arange(b, dtype=jnp.int32)
         active = frame_ids < n_pool
         safe = jnp.clip(frame_ids, 0, n_pool - 1)
-        vals = jnp.take(pool_values, safe, axis=1)
+        if n_pool == b:
+            # single-fill pool: the lane->pool map is the identity — skip
+            # the take (a full [n_vars, B] copy that is pure HBM peak at
+            # the B=512 scale, scripts/try_gp_b512.py)
+            vals = pool_values
+        else:
+            vals = jnp.take(pool_values, safe, axis=1)
         llr = vals if input_is_llr else self.channel.llr_from_channel(vals)
         llr = _pad_rows(llr, self.tables.erased_mask_sorted.shape[0])
         llr = jnp.where(self.tables.erased_mask_sorted, 0.0, llr)
@@ -863,6 +873,11 @@ class LDPCDecoder:
         # superstep. fp8 messages keep bf16 LLRs (channel values need
         # more mantissa than saturating messages — qc_pallas comment).
         llr = llr.astype(self._llr_dtype)
+        # NB: no identity-skip for the syndrome take — _pad_rows is a
+        # no-op for unpadded tables, and state.syn aliasing pool_syn
+        # trips the host-poll superstep's donate_argnums (donated state
+        # leaf == live pool argument). The values path is safe: the
+        # erased-mask where() below always materializes a fresh buffer.
         syn = _pad_rows(jnp.take(pool_syn, safe, axis=1),
                         getattr(self.tables, "nc_pad", self.code.n_checks))
         msgs = self._init_messages(llr, self.tables, dtype=self.msg_dtype,

@@ -18,6 +18,16 @@ class StaticParams:
     # the actual value may be lowered by the memory model (default 5,
     # h/ldpc_decoder_gpu_common.h:19)
     max_log_parallel_factor_user: int = 5
+    # exact lane-count override (None = memory model chooses a power of
+    # two capped by max_log_parallel_factor_user). Any positive count is
+    # kernel-valid, but production counts should be multiples of 128
+    # (the VPU lane-block width — smaller batches pad to it); the
+    # measured sweet spots are non-powers-of-two on some paths (the
+    # Pallas general path fits B=384 but not 512 on a 16 GB chip, and
+    # its row-bound gathers make the extra lanes ~free:
+    # scripts/try_gp_b512.py). Bypasses the memory model — the caller
+    # owns the OOM risk.
+    parallel_factor_user: int | None = None
     # message storage dtype: "float32", "bfloat16" (the TPU analog of the
     # reference's CUDA fp16 build option, CMakeLists.txt:13-15), or
     # "float8_e5m2" (experimental: halves message traffic again; φ is
@@ -71,6 +81,11 @@ class StaticParams:
         elif isinstance(self.minsum_alpha, (list, tuple)):
             self.minsum_alpha = tuple(
                 (int(d), float(a)) for d, a in self.minsum_alpha)
+        if self.parallel_factor_user is not None:
+            if self.parallel_factor_user <= 0:
+                raise ValueError(
+                    f"parallel_factor_user must be positive, got "
+                    f"{self.parallel_factor_user}")
         valid = ("float32", "bfloat16", "float8_e5m2", "int8")
         if self.message_dtype not in valid:
             raise ValueError(

@@ -6,6 +6,11 @@ XLA gathers) is the equivalent capability, and this script quantifies its
 cost at the reference's scale (VERDICT r1 missing #4 asked for a measured
 datapoint, not an implied one).
 
+Round-4 protocol: B=384 lanes (the widest that fits the 16 GB chip;
+the path's two row gathers are row-bound so the extra lanes over the
+memory model's 256 are nearly free — scripts/try_gp_b512.py: B=512
+OOMs, B=384 measures 168.5 Mb/s vs 133.3 at 256).
+
 Usage: python scripts/bench_general.py [B] [sigma]
 """
 
@@ -25,7 +30,7 @@ def main():
     from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
     from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
-    B_cap = int(sys.argv[1]) if len(sys.argv) > 1 else 7
+    B_force = int(sys.argv[1]) if len(sys.argv) > 1 else 384
     sigma = float(sys.argv[2]) if len(sys.argv) > 2 else 0.84
     n_vars = 1 << 20
 
@@ -37,8 +42,8 @@ def main():
     ch = BIAWGNChannel(sigma)
     dec = LDPCDecoder(
         code, ch,
-        StaticParams(max_log_parallel_factor_user=B_cap,
-                     message_dtype="bfloat16"),
+        StaticParams(parallel_factor_user=B_force,
+                     message_dtype="bfloat16", qc_autodetect=False),
     )
     B = dec.parallel_factor()
     dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,

@@ -42,13 +42,9 @@ def main():
     channel = BIAWGNChannel(sigma)
     dec = LDPCDecoder(
         code, channel,
-        StaticParams(message_dtype="bfloat16"),
+        StaticParams(message_dtype="bfloat16", parallel_factor_user=B),
         qc=qc,
     )
-    # Force the lane count past the power-of-two memory model (init only
-    # stores the value; the superstep cache keys on it, so setting it
-    # before the first decode is safe).
-    dec._parallel_factor = B
     print(f"B={dec.parallel_factor()} n={n}", flush=True)
     dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=14,
                         num_iter_first_check=70,

@@ -7,9 +7,11 @@ streams) = 133.3 Mb/s; if a wider B fits HBM the projection is
 ~220 Mb/s at 512, ~170 at 384 — vs the reference's 200.3 Mb/s
 any-alist baseline.
 
-Measured (round 4): **B=512 OOMs on the real chip** (peak live set at
-bf16 ~ 4 edge arrays x 3.2 GB + pool/llr/bits ~ 5 GB > the v5e's
-~16 GB); B=384 (3/4 of that) is the widest that fits.
+Measured (round 4): **B=512 OOMs on the real chip**, both before and
+after the HBM squeeze (in-place CN/VN kernel aliasing cutting the live
+edge arrays from 4 to 3, bf16 pool, init-gather skip —
+ops/general_pallas._whole_array); B=384 is the widest that fits and
+measures 168.5 Mb/s (scripts/out/bench_general_r4b.log).
 
 Usage: python scripts/try_gp_b512.py [B] [sigma]
 """
@@ -36,12 +38,10 @@ def main():
     ch = BIAWGNChannel(sigma)
     dec = LDPCDecoder(
         code, ch,
-        StaticParams(max_log_parallel_factor_user=9,
+        StaticParams(parallel_factor_user=B,  # past the memory model
                      message_dtype="bfloat16",
                      qc_autodetect=False),
     )
-    # force the lane count past the memory model (the point of the probe)
-    dec._parallel_factor = B
     print(f"B={dec.parallel_factor()} (forced)", flush=True)
     dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
                         loading_factor=1, target_errors=15)
@@ -53,8 +53,11 @@ def main():
 
     vn_order = np.asarray(dec.cc.vn_order)
     cn_order = np.asarray(dec.cc.cn_order)
+    # bf16 pool: the LLR state is stored bf16 anyway (decoder._llr_dtype
+    # for bf16 messages), so a bf16 pool is lossless for the decode and
+    # halves the held pool bytes (part of the B=512 HBM squeeze)
     pool_values = jnp.asarray(
-        ch.llr_np(batch.values)[vn_order].astype(np.float32))
+        ch.llr_np(batch.values)[vn_order]).astype(jnp.bfloat16)
     pool_syn = jnp.asarray(batch.syndromes[cn_order].astype(np.int8))
     jax.block_until_ready((pool_values, pool_syn))
 

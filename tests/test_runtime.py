@@ -304,3 +304,31 @@ def test_decode_streamed_matches_serial():
     # pipeline structure: chunk 1 was submitted (uploaded + dispatched)
     # before chunk 0's results were fetched (depth-2 double buffering)
     assert order.index(("submit", 1)) < order.index(("yield", 0))
+
+
+def test_parallel_factor_user_override():
+    """StaticParams.parallel_factor_user bypasses the power-of-two memory
+    model with an exact lane count (the general path's measured B=384
+    sweet spot is not a power of two — scripts/try_gp_b512.py)."""
+    import numpy as np
+    import pytest
+
+    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.codes.generate import make_regular_code
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    code = make_regular_code(512, 3, 6, seed=11)
+    ch = BIAWGNChannel(0.6)
+    dec = LDPCDecoder(code, ch, StaticParams(parallel_factor_user=24))
+    assert dec.parallel_factor() == 24
+    from ldpc_decoder_tpu.runtime.datagen import create_data
+
+    batch = create_data(code, ch, 0, 24)
+    dyn = DynamicParams(num_iter_max=40, num_iter_check_parity=5,
+                        loading_factor=1, target_errors=15)
+    results, stats = dec.decode(dyn, 24, batch.values, batch.syndromes)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum()
+    assert int(errors) == 0
+    with pytest.raises(ValueError):
+        StaticParams(parallel_factor_user=0)
