@@ -68,8 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="override detected device memory")
     p.add_argument("--algorithm", choices=["sum-product", "min-sum"],
                    default="sum-product",
-                   help="check-node rule (min-sum: offset approximation, "
-                   "QC codes only, higher throughput)")
+                   help="check-node rule (min-sum: offset/normalized "
+                   "two-minimum approximation, higher throughput, small "
+                   "threshold loss; any code)")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"],
                    default="auto", help="QC decode kernel implementation")
     p.add_argument("--first-check", type=int, default=0, metavar="ITER",

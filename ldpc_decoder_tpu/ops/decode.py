@@ -32,12 +32,18 @@ import numpy as np
 
 from ldpc_decoder_tpu.codes.compiled import CompiledCode, DegreeBucket
 from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, phi_abs
+from ldpc_decoder_tpu.ops.qc_decode import (
+    dequantize_msgs,
+    quantize_msgs,
+    resolve_minsum_alpha,
+)
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
         "perm_c2v",
+        "perm_v2c",
         "cn_edge_vnrow",
         "vn_pos",
         "vn_order",
@@ -59,6 +65,7 @@ class DecodeTables:
     n_checks: int
     n_edges: int
     perm_c2v: jnp.ndarray  # [E] int32: vn-edge s -> cn-edge of same edge
+    perm_v2c: jnp.ndarray  # [E] int32: cn-edge t -> vn-edge of same edge
     cn_edge_vnrow: jnp.ndarray  # [E] int32: cn-edge t -> sorted vn row
     vn_pos: jnp.ndarray  # [n_vars] natural var id -> sorted row
     vn_order: jnp.ndarray  # [n_vars] sorted row -> natural var id
@@ -79,6 +86,7 @@ class DecodeTables:
             n_checks=code.n_checks,
             n_edges=code.n_edges,
             perm_c2v=jnp.asarray(cc.perm_c2v),
+            perm_v2c=jnp.asarray(cc.perm_v2c),
             cn_edge_vnrow=jnp.asarray(cc.cn_edge_vnrow),
             vn_pos=jnp.asarray(cc.vn_pos),
             vn_order=jnp.asarray(cc.vn_order),
@@ -194,13 +202,117 @@ def bp_iteration(
     return new.astype(msgs_c.dtype), totals
 
 
+def cn_update_minsum(
+    msgs_c: jnp.ndarray,  # [E, B] LLR-domain messages, cn-edge order
+    syn: jnp.ndarray,  # [n_checks, B]
+    tables: DecodeTables,
+    beta: float,
+    alpha=1.0,
+    qscale: float = 4.0,
+) -> jnp.ndarray:
+    """Normalized/offset min-sum check update on the general path:
+    |out| = max(α_d · min_{other} |m| − β, 0) — the oracle twin of
+    general_pallas._cn_kernel_minsum, numerics in lockstep with
+    qc_decode.cn_update_qc_minsum (messages stay in the LLR domain;
+    int8 messages are fixed-point at ``qscale``)."""
+    is_q = msgs_c.dtype == jnp.int8
+    out = []
+    syn_i = syn.astype(jnp.int32)
+    for b in tables.cn_buckets:
+        m = _bucket_view(msgs_c, b)
+        m = (dequantize_msgs(m, qscale) if is_q
+             else m.astype(jnp.float32))  # [count, d, B]
+        neg = jnp.signbit(m)
+        a = jnp.abs(m)
+        min1 = jnp.min(a, axis=1, keepdims=True)
+        pos = jnp.argmin(a, axis=1, keepdims=True)  # first minimum
+        k_idx = jnp.arange(b.degree)[None, :, None]
+        a_excl = jnp.where(k_idx == pos, jnp.inf, a)
+        min2 = jnp.min(a_excl, axis=1, keepdims=True)
+        if b.degree == 1:
+            # sole edge: empty leave-one-out (see cn_update_qc_minsum)
+            min2 = jnp.zeros_like(min2)
+        other = jnp.where(k_idx == pos, min2, min1)
+        a_g = resolve_minsum_alpha(alpha, b.degree)
+        res = jnp.maximum(jnp.float32(a_g) * other - jnp.float32(beta), 0.0)
+        pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=1, keepdims=True)
+        s = syn_i[b.row_start : b.row_start + b.count][:, None, :]
+        parity = (s + pos_votes) & 1
+        is_neg = (neg.astype(jnp.int32) ^ parity) == 1
+        rf = jnp.where(is_neg, -res, res)
+        r = quantize_msgs(rf, qscale) if is_q else rf.astype(msgs_c.dtype)
+        out.append(r.reshape(b.count * b.degree, -1))
+    return jnp.concatenate(out, axis=0)
+
+
+def vn_update_minsum(
+    r_v: jnp.ndarray,  # [E, B] CN→VN messages, vn-edge order
+    llr: jnp.ndarray,  # [n_vars, B] sorted order
+    tables: DecodeTables,
+    clamp: float,
+    qscale: float = 4.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Min-sum variable update: leave-one-out sums, clamped (twin of
+    general_pallas._vn_kernel_minsum / qc_decode.vn_update_qc_minsum).
+    Returns (new msgs in vn-edge order, totals [n_vars, B] f32)."""
+    is_q = r_v.dtype == jnp.int8
+    msgs_out, totals_out = [], []
+    for b in tables.vn_buckets:
+        r = _bucket_view(r_v, b)
+        r = dequantize_msgs(r, qscale) if is_q else r.astype(jnp.float32)
+        lv = llr[b.row_start : b.row_start + b.count].astype(jnp.float32)
+        totals = lv + jnp.sum(r, axis=1)
+        if b.degree == 1:
+            # sole edge: emit clip(llr) exactly, not totals - r (low-order
+            # rounding differs) — matches the Pallas kernel's d==1 branch
+            pre = lv[:, None]
+        else:
+            pre = totals[:, None, :] - r
+        mf = jnp.clip(pre, -clamp, clamp)
+        m = quantize_msgs(mf, qscale) if is_q else mf.astype(r_v.dtype)
+        msgs_out.append(m.reshape(b.count * b.degree, -1))
+        totals_out.append(totals)
+    return jnp.concatenate(msgs_out, axis=0), jnp.concatenate(totals_out,
+                                                              axis=0)
+
+
+def bp_iteration_minsum(
+    msgs_c: jnp.ndarray,
+    llr: jnp.ndarray,
+    syn: jnp.ndarray,
+    tables: DecodeTables,
+    beta: float = 0.0,
+    clamp: float = 64.0,
+    alpha=1.0,
+    qscale: float = 4.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One min-sum flood iteration in cn-edge-order state. Unlike
+    bp_iteration's fused gather-totals formulation, the VN pass runs in
+    vn-edge order (bucket views) so the degree-1 special case and the
+    f32 op sequence match the Pallas kernels bit-for-bit; the result is
+    permuted back to cn order with perm_v2c."""
+    r_c = cn_update_minsum(msgs_c, syn, tables, beta, alpha, qscale)
+    r_v = jnp.take(r_c, tables.perm_c2v, axis=0)
+    m_v, totals = vn_update_minsum(r_v, llr, tables, clamp, qscale)
+    return jnp.take(m_v, tables.perm_v2c, axis=0), totals
+
+
 def init_messages(
     llr: jnp.ndarray, tables: DecodeTables, dtype=jnp.float32,
-    phi_pre: float = PRE_THRESHOLD,
+    phi_pre: float = PRE_THRESHOLD, alg: str = "sum-product",
+    clamp: float = 64.0, qscale: float = 4.0,
 ) -> jnp.ndarray:
-    """Fresh-frame message init: every edge of a variable gets φ(llr)
-    (flood_refill, flood.cu:297-323). [E, B]."""
-    p = jnp.copysign(phi_abs(jnp.abs(llr), phi_pre), llr)
+    """Fresh-frame message init: every edge of a variable gets φ(llr) for
+    sum-product, llr itself for min-sum — quantized for int8 storage
+    (flood_refill, flood.cu:297-323; qc_decode.init_messages_qc). [E, B]."""
+    if alg == "min-sum":
+        if dtype == jnp.int8:
+            p = quantize_msgs(
+                jnp.clip(llr.astype(jnp.float32), -clamp, clamp), qscale)
+        else:
+            p = llr.astype(dtype)
+    else:
+        p = jnp.copysign(phi_abs(jnp.abs(llr), phi_pre), llr)
     return jnp.take(p, tables.cn_edge_vnrow, axis=0).astype(dtype)
 
 
@@ -209,7 +321,8 @@ def hard_bits(totals: jnp.ndarray) -> jnp.ndarray:
     return (~jnp.signbit(totals)).astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("k", "phi_pre"))
+@partial(jax.jit, static_argnames=("k", "phi_pre", "alg", "beta", "clamp",
+                                   "alpha", "qscale"))
 def run_iterations(
     msgs_c: jnp.ndarray,
     llr: jnp.ndarray,
@@ -217,16 +330,25 @@ def run_iterations(
     tables: DecodeTables,
     k: int,
     phi_pre: float = PRE_THRESHOLD,
+    alg: str = "sum-product",
+    beta: float = 0.0,
+    clamp: float = 64.0,
+    alpha=1.0,
+    qscale: float = 4.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k flood iterations then a parity check.
 
     Returns (msgs_c, bits [n_vars, B] int8 sorted order, violated [B] bool).
     The TPU analog of the reference's hot loop segment between host
-    convergence polls (ldpc_decoder_gpu.cu:346-374).
-    """
+    convergence polls (ldpc_decoder_gpu.cu:346-374). ``alg``:
+    "sum-product" (exact φ chain) or "min-sum" (normalized/offset
+    two-minimum; β/α/clamp/qscale as in StaticParams)."""
 
     def body(_, carry):
         msgs, _ = carry
+        if alg == "min-sum":
+            return bp_iteration_minsum(msgs, llr, syn, tables, beta, clamp,
+                                       alpha, qscale)
         return bp_iteration(msgs, llr, syn, tables, phi_pre)
 
     totals0 = jnp.zeros((tables.n_vars, llr.shape[-1]), jnp.float32)
@@ -236,7 +358,8 @@ def run_iterations(
     return msgs_c, bits, violated
 
 
-@partial(jax.jit, static_argnames=("b", "phi_pre"))
+@partial(jax.jit, static_argnames=("b", "phi_pre", "alg", "beta", "clamp",
+                                   "alpha", "qscale"))
 def burst_iterations(
     msgs_c: jnp.ndarray,
     llr: jnp.ndarray,
@@ -244,6 +367,11 @@ def burst_iterations(
     tables: DecodeTables,
     b: int,
     phi_pre: float = PRE_THRESHOLD,
+    alg: str = "sum-product",
+    beta: float = 0.0,
+    clamp: float = 64.0,
+    alpha=1.0,
+    qscale: float = 4.0,
 ) -> jnp.ndarray:
     """``b`` plain flood iterations, no parity check — bit-identical prefix
     of run_iterations (the delayed-first-parity-check phase; see
@@ -251,6 +379,9 @@ def burst_iterations(
 
     def body(_, carry):
         msgs, _ = carry
+        if alg == "min-sum":
+            return bp_iteration_minsum(msgs, llr, syn, tables, beta, clamp,
+                                       alpha, qscale)
         return bp_iteration(msgs, llr, syn, tables, phi_pre)
 
     totals0 = jnp.zeros((tables.n_vars, llr.shape[-1]), jnp.float32)

@@ -67,6 +67,7 @@ from jax.experimental import pallas as pl
 
 from ldpc_decoder_tpu.codes.compiled import CompiledCode
 from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, phi
+from ldpc_decoder_tpu.ops.qc_decode import resolve_minsum_alpha
 from ldpc_decoder_tpu.ops.qc_pallas import (
     _compiler_params,
     _interpret,
@@ -284,6 +285,72 @@ def _vn_kernel(phi_high: float, phi_pre: float, out_dtype):
     return kernel
 
 
+def _store_block(o_ref, vals, qscale: float):
+    """Quantize-on-write for int8 fixed-point messages (lockstep with
+    qc_decode.quantize_msgs / qc_pallas_grouped._store_msg)."""
+    if o_ref.dtype == jnp.int8:
+        q = jnp.clip(jnp.round(vals * jnp.float32(qscale)), -127.0, 127.0)
+        o_ref[...] = q.astype(jnp.int8)
+    else:
+        o_ref[...] = vals.astype(o_ref.dtype)
+
+
+def _cn_kernel_minsum(beta: float, alpha: float, qscale: float, d: int):
+    """Min-sum check-node pass over one [d, T, lb] node block:
+    |out_k| = max(α · min_{j≠k} |m_j| − β, 0), sign via syndrome parity.
+    Two-minimum running scan (first-minimum tie-break, lockstep with
+    qc_pallas._cn_kernel's min-sum branch and the argmin-based oracle
+    ops/decode.cn_update_minsum). ``qscale`` > 0: int8 fixed-point."""
+    inv = 1.0 / qscale if qscale else 1.0
+
+    def kernel(syn_ref, m_ref, o_ref):
+        m = m_ref[...].astype(jnp.float32) * jnp.float32(inv)  # [d, T, lb]
+        a = jnp.abs(m)
+        neg = jnp.signbit(m)
+        pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=0)
+        parity = (syn_ref[...].astype(jnp.int32) + pos_votes) & 1
+        m1 = a[0]
+        m2 = jnp.full_like(m1, jnp.inf)
+        pos = jnp.zeros(m1.shape, jnp.int32)
+        for k in range(1, d):
+            is_new = a[k] < m1
+            m2 = jnp.where(is_new, m1, jnp.minimum(m2, a[k]))
+            m1 = jnp.where(is_new, a[k], m1)
+            pos = jnp.where(is_new, k, pos)
+        if d == 1:
+            m2 = jnp.zeros_like(m1)  # sole edge: empty leave-one-out
+        outs = []
+        for k in range(d):
+            other = jnp.where(pos == k, m2, m1)
+            res = jnp.maximum(
+                jnp.float32(alpha) * other - jnp.float32(beta), 0.0)
+            is_neg = (neg[k].astype(jnp.int32) ^ parity) == 1
+            outs.append(jnp.where(is_neg, -res, res))
+        _store_block(o_ref, jnp.stack(outs, axis=0), qscale)
+
+    return kernel
+
+
+def _vn_kernel_minsum(clamp: float, qscale: float, d: int):
+    """Min-sum variable-node pass over one [d, T, lb] block: plain
+    leave-one-out sums in f32 (no φ, no dtype routing), clamped; degree-1
+    nodes emit clip(llr) exactly (see qc_pallas_grouped._vn_kernel_g)."""
+    inv = 1.0 / qscale if qscale else 1.0
+
+    def kernel(llr_ref, r_ref, o_ref, bits_ref):
+        r = r_ref[...].astype(jnp.float32) * jnp.float32(inv)  # [d, T, lb]
+        llr_t = llr_ref[...].astype(jnp.float32)
+        tot = llr_t + jnp.sum(r, axis=0)
+        if d == 1:
+            pre = llr_t[None]
+        else:
+            pre = tot[None] - r
+        _store_block(o_ref, jnp.clip(pre, -clamp, clamp), qscale)
+        bits_ref[...] = (~jnp.signbit(tot)).astype(jnp.int8)
+
+    return kernel
+
+
 def _bucket_edges(x: jnp.ndarray, p: PlaneBucket) -> jnp.ndarray:
     """[d, count_pad, B] view of one bucket's plane-major edge rows (a
     free metadata reshape when the bucket is the whole array)."""
@@ -324,10 +391,15 @@ def cn_update_general(
     syn: jnp.ndarray,  # [nc_pad, B] int8 syndrome bits
     tables: GeneralPallasTables,
     phi_pre: float = PRE_THRESHOLD,
+    alg: str = "sum-product",
+    beta: float = 0.0,
+    alpha=1.0,
+    qscale: float = 4.0,
 ) -> jnp.ndarray:
     B = m_c.shape[-1]
     lb = _lane_block(B)
     high = _phi_high(m_c.dtype)
+    is_q = m_c.dtype == jnp.int8
     parts = []
     for p in tables.cn_buckets:
         d, t, cp = p.degree, p.tile, p.count_pad
@@ -335,8 +407,13 @@ def cn_update_general(
         alias = (
             {1: 0} if _whole_array(p, tables.ec_pad) else {}
         )
+        if alg == "min-sum":
+            kern = _cn_kernel_minsum(beta, resolve_minsum_alpha(alpha, d),
+                                     qscale if is_q else 0.0, d)
+        else:
+            kern = _cn_kernel(high, phi_pre, m_c.dtype)
         out = pl.pallas_call(
-            _cn_kernel(high, phi_pre, m_c.dtype),
+            kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((t, lb),
@@ -362,12 +439,16 @@ def vn_update_general(
     tables: GeneralPallasTables,
     phi_pre: float = PRE_THRESHOLD,
     msg_dtype=None,
+    alg: str = "sum-product",
+    clamp: float = 64.0,
+    qscale: float = 4.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (new msgs_v [ev_pad, B], hard bits [nv_pad, B] int8)."""
     B = r_v.shape[-1]
     lb = _lane_block(B)
     dtype = msg_dtype or r_v.dtype
     high = _phi_high(dtype)
+    is_q = jnp.dtype(dtype) == jnp.int8
     parts, bit_parts = [], []
     for p in tables.vn_buckets:
         d, t, cp = p.degree, p.tile, p.count_pad
@@ -377,8 +458,12 @@ def vn_update_general(
             if _whole_array(p, tables.ev_pad) and r_v.dtype == dtype
             else {}
         )
+        if alg == "min-sum":
+            kern = _vn_kernel_minsum(clamp, qscale if is_q else 0.0, d)
+        else:
+            kern = _vn_kernel(high, phi_pre, dtype)
         out, bits = pl.pallas_call(
-            _vn_kernel(high, phi_pre, dtype),
+            kern,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((t, lb),
@@ -429,11 +514,24 @@ def init_messages_general(
     tables: GeneralPallasTables,
     dtype=jnp.float32,
     phi_pre: float = PRE_THRESHOLD,
+    alg: str = "sum-product",
+    clamp: float = 64.0,
+    qscale: float = 4.0,
 ) -> jnp.ndarray:
-    """Fresh-frame init: every edge slot of a variable gets φ(llr)
-    (flood_refill, flood.cu:297-323) — a contiguous plane broadcast in
-    the VN layout, no gather."""
-    p_llr = phi(llr.astype(jnp.float32), phi_pre)
+    """Fresh-frame init: every edge slot of a variable gets φ(llr) for
+    sum-product, llr itself for min-sum (quantized for int8 storage)
+    (flood_refill, flood.cu:297-323; qc_decode.init_messages_qc) — a
+    contiguous plane broadcast in the VN layout, no gather."""
+    if alg == "min-sum":
+        if jnp.dtype(dtype) == jnp.int8:
+            from ldpc_decoder_tpu.ops.qc_decode import quantize_msgs
+
+            p_llr = quantize_msgs(
+                jnp.clip(llr.astype(jnp.float32), -clamp, clamp), qscale)
+        else:
+            p_llr = llr.astype(dtype)
+    else:
+        p_llr = phi(llr.astype(jnp.float32), phi_pre)
     parts = []
     for p in tables.vn_buckets:
         rows = p_llr[p.node_start : p.node_start + p.count_pad]
@@ -447,15 +545,19 @@ def init_messages_general(
                      llr.shape[-1], dtype)
 
 
-def _one_iteration(msgs_v, llr, syn, tables, phi_pre):
+def _one_iteration(msgs_v, llr, syn, tables, phi_pre, alg="sum-product",
+                   beta=0.0, clamp=64.0, alpha=1.0, qscale=4.0):
     m_c = jnp.take(msgs_v, tables.perm_v2c, axis=0)
-    r_c = cn_update_general(m_c, syn, tables, phi_pre)
+    r_c = cn_update_general(m_c, syn, tables, phi_pre, alg, beta, alpha,
+                            qscale)
     r_v = jnp.take(r_c, tables.perm_c2v, axis=0)
     return vn_update_general(r_v, llr, tables, phi_pre,
-                             msg_dtype=msgs_v.dtype)
+                             msg_dtype=msgs_v.dtype, alg=alg, clamp=clamp,
+                             qscale=qscale)
 
 
-@partial(jax.jit, static_argnames=("k", "phi_pre"))
+@partial(jax.jit, static_argnames=("k", "phi_pre", "alg", "beta", "clamp",
+                                   "alpha", "qscale"))
 def run_iterations_general(
     msgs_v: jnp.ndarray,
     llr: jnp.ndarray,
@@ -463,13 +565,20 @@ def run_iterations_general(
     tables: GeneralPallasTables,
     k: int,
     phi_pre: float = PRE_THRESHOLD,
+    alg: str = "sum-product",
+    beta: float = 0.0,
+    clamp: float = 64.0,
+    alpha=1.0,
+    qscale: float = 4.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k flood iterations then a parity check; returns (msgs_v, bits,
-    violated) — drop-in twin of ops/decode.run_iterations."""
+    violated) — drop-in twin of ops/decode.run_iterations (including its
+    min-sum mode)."""
 
     def body(_, carry):
         msgs, _ = carry
-        return _one_iteration(msgs, llr, syn, tables, phi_pre)
+        return _one_iteration(msgs, llr, syn, tables, phi_pre, alg, beta,
+                              clamp, alpha, qscale)
 
     bits0 = jnp.zeros((tables.nv_pad, llr.shape[-1]), jnp.int8)
     msgs_v, bits = jax.lax.fori_loop(0, k, body, (msgs_v, bits0))
@@ -477,7 +586,8 @@ def run_iterations_general(
     return msgs_v, bits, violated
 
 
-@partial(jax.jit, static_argnames=("b", "phi_pre"))
+@partial(jax.jit, static_argnames=("b", "phi_pre", "alg", "beta", "clamp",
+                                   "alpha", "qscale"))
 def burst_iterations_general(
     msgs_v: jnp.ndarray,
     llr: jnp.ndarray,
@@ -485,12 +595,18 @@ def burst_iterations_general(
     tables: GeneralPallasTables,
     b: int,
     phi_pre: float = PRE_THRESHOLD,
+    alg: str = "sum-product",
+    beta: float = 0.0,
+    clamp: float = 64.0,
+    alpha=1.0,
+    qscale: float = 4.0,
 ) -> jnp.ndarray:
     """b plain iterations, no parity check (delayed-first-check phase)."""
 
     def body(_, carry):
         msgs, _ = carry
-        return _one_iteration(msgs, llr, syn, tables, phi_pre)
+        return _one_iteration(msgs, llr, syn, tables, phi_pre, alg, beta,
+                              clamp, alpha, qscale)
 
     bits0 = jnp.zeros((tables.nv_pad, llr.shape[-1]), jnp.int8)
     msgs_v, _ = jax.lax.fori_loop(0, b, body, (msgs_v, bits0))

@@ -241,10 +241,6 @@ class LDPCDecoder:
                     qscale=self.params.minsum_qscale,
                 )
         else:
-            if (static_params or StaticParams()).algorithm != "sum-product":
-                raise ValueError(
-                    "min-sum is implemented on the QC paths; pass qc="
-                )
             impl = self.params.kernel_impl
             # the Pallas general path streams the node updates ~10x
             # faster than the XLA bucket chain (round-4 breakdown,
@@ -255,18 +251,33 @@ class LDPCDecoder:
                 impl == "auto" and jax.default_backend() == "tpu"
             )
             if use_gp and self.params.message_dtype in ("float32",
-                                                        "bfloat16"):
+                                                        "bfloat16",
+                                                        "int8"):
                 from ldpc_decoder_tpu.ops import general_pallas as gp
 
                 self.tables = gp.GeneralPallasTables.from_compiled(self.cc)
-                self._run_iterations = gp.run_iterations_general
-                self._run_burst = gp.burst_iterations_general
-                self._init_messages = gp.init_messages_general
+                self._run_iterations = self._bind_alg(
+                    gp.run_iterations_general)
+                self._run_burst = self._bind_alg(
+                    gp.burst_iterations_general)
+                self._init_messages = partial(
+                    gp.init_messages_general,
+                    alg=self.params.algorithm,
+                    clamp=self.params.minsum_clamp,
+                    qscale=self.params.minsum_qscale,
+                ) if self.params.algorithm != "sum-product" else (
+                    gp.init_messages_general)
             else:
                 self.tables = ops.DecodeTables.from_compiled(self.cc)
-                self._run_iterations = ops.run_iterations
-                self._run_burst = ops.burst_iterations
-                self._init_messages = ops.init_messages
+                self._run_iterations = self._bind_alg(ops.run_iterations)
+                self._run_burst = self._bind_alg(ops.burst_iterations)
+                self._init_messages = partial(
+                    ops.init_messages,
+                    alg=self.params.algorithm,
+                    clamp=self.params.minsum_clamp,
+                    qscale=self.params.minsum_qscale,
+                ) if self.params.algorithm != "sum-product" else (
+                    ops.init_messages)
         self.msg_dtype = {
             "bfloat16": jnp.bfloat16,
             "float8_e5m2": jnp.float8_e5m2,

@@ -52,9 +52,10 @@ class StaticParams:
     # action. Costs one O(E·divisors) numpy pass at construction.
     qc_autodetect: bool = True
     # check-node rule: "sum-product" (exact tanh rule in the φ domain,
-    # matching the reference, flood.cu:88-114) or "min-sum" (offset
-    # two-minimum approximation; no transcendentals, higher throughput,
-    # ~0.05-0.1 dB threshold loss; QC paths only)
+    # matching the reference, flood.cu:88-114) or "min-sum" (offset/
+    # normalized two-minimum approximation; no transcendentals, higher
+    # throughput, ~0.05-0.1 dB threshold loss; supported on every
+    # kernel path — QC fused, QC grouped, general Pallas, general XLA)
     algorithm: str = "sum-product"
     # offset β of offset-min-sum (|out| = max(α·min - β, 0))
     minsum_offset: float = 0.5

@@ -1,0 +1,89 @@
+"""Quantized min-sum on the general (non-QC) path at wide lane counts.
+
+Round-4 rationale: the general path's two per-iteration row gathers are
+row-bound (~12-16 ns/row up to ~512B rows, +34% to 1KB —
+scripts/micro_gather.py), so the gather cost per FRAME keeps dropping as
+B widens; what stops B is HBM. int8 fixed-point min-sum messages
+(industry-standard hardware quantization, qc_decode.quantize_msgs) are
+2x smaller than bf16, so the same HBM that fits B=384 bf16 sum-product
+fits B=768 int8 min-sum — and min-sum also removes every transcendental
+from the stream kernels. On codes with margin to the min-sum threshold
+(the (3,6) benchmark point sigma=0.84 vs the NMS alpha=0.8 threshold
+~0.8625 measured by sampled DE, scripts/out/nms_validate.log) this is a
+legitimate operating mode: the reference itself only ships exact BP, so
+this is a capability beyond parity, benchmarked honestly as such.
+
+Usage: python scripts/try_gp_minsum.py [B] [sigma] [dtype]
+  B      lane count (default 768; must be a multiple of 128)
+  sigma  AWGN noise (default 0.84 — the general-path benchmark point)
+  dtype  int8 (default) or bfloat16
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.codes.generate import make_regular_code
+    from ldpc_decoder_tpu.runtime.datagen import create_data
+    from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
+    from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
+
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 768
+    sigma = float(sys.argv[2]) if len(sys.argv) > 2 else 0.84
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "int8"
+    n_vars = 1 << 20
+    code = make_regular_code(n_vars, 3, 6, seed=9)
+    ch = BIAWGNChannel(sigma)
+    dec = LDPCDecoder(
+        code, ch,
+        StaticParams(parallel_factor_user=B,
+                     message_dtype=dtype,
+                     algorithm="min-sum",
+                     minsum_alpha=0.8,  # NMS, validated (3,6) choice
+                     minsum_offset=0.0,
+                     qc_autodetect=False),
+    )
+    print(f"B={dec.parallel_factor()} sigma={sigma} dtype={dtype} "
+          f"alg=min-sum alpha=0.8", flush=True)
+    dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
+                        loading_factor=1, target_errors=15)
+    n = B
+    batch = create_data(code, ch, 0, n)
+
+    import jax
+    import jax.numpy as jnp
+
+    vn_order = np.asarray(dec.cc.vn_order)
+    cn_order = np.asarray(dec.cc.cn_order)
+    pool_values = jnp.asarray(
+        ch.llr_np(batch.values)[vn_order]).astype(jnp.bfloat16)
+    pool_syn = jnp.asarray(batch.syndromes[cn_order].astype(np.int8))
+    jax.block_until_ready((pool_values, pool_syn))
+
+    t0 = time.perf_counter()
+    results, stats = dec.decode_presorted(dyn, n, pool_values, pool_syn,
+                                          input_is_llr=True)
+    print(f"decode 1 (incl. compile): {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    results, stats = dec.decode_presorted(dyn, n, pool_values, pool_syn,
+                                          input_is_llr=True)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum(axis=1)
+    itpv = stats.iter_time_per_vector
+    mbps = n_vars / (stats.avg_iter * itpv * 1048576.0)
+    print(f"iters avg/max/min {stats.avg_iter:.1f}/{stats.max_iter}/"
+          f"{stats.min_iter}, itpv={itpv:.3e}s, BER="
+          f"{errors.sum()/(n_vars*n):.2e} FER(>0)={(errors>0).mean():.4f}",
+          flush=True)
+    print(f"general-path min-sum {dtype} B={B}: {mbps:.1f} Mb/s "
+          f"(sum-product bf16 B=384: 168.5; reference baseline: 200.3)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,7 +76,7 @@ def test_tables_permutations_invert():
     np.testing.assert_array_equal(v2c[c2v[rv]], rv)
 
 
-def _compare_paths(code, sigma, B, seed, dtype, ks=(1, 3)):
+def _compare_paths(code, sigma, B, seed, dtype, ks=(1, 3), alg_kw=None):
     cc, syn, llr = _setup(code, sigma, B, seed)
     tx = D.DecodeTables.from_compiled(cc)
     tp = GP.GeneralPallasTables.from_compiled(cc)
@@ -85,15 +85,19 @@ def _compare_paths(code, sigma, B, seed, dtype, ks=(1, 3)):
     syn_s = jnp.asarray(syn[np.asarray(cc.cn_order)].astype(np.int8))
     llr_p, syn_p = _pad_inputs(tp, llr, syn)
 
-    msgs_x = D.init_messages(llr_s, tx, dtype=dtype)
-    msgs_p = GP.init_messages_general(llr_p, tp, dtype=dtype)
+    run_kw = dict(alg_kw) if alg_kw else {}
+    init_kw = {k: v for k, v in run_kw.items()
+               if k in ("alg", "clamp", "qscale")}
+    msgs_x = D.init_messages(llr_s, tx, dtype=dtype, **init_kw)
+    msgs_p = GP.init_messages_general(llr_p, tp, dtype=dtype, **init_kw)
 
     vp_x = np.asarray(cc.vn_pos)
     vp_p = np.asarray(tp.vn_pos)
     for k in ks:
-        mx, bx, vx = D.run_iterations(msgs_x, llr_s, syn_s, tx, k)
+        mx, bx, vx = D.run_iterations(msgs_x, llr_s, syn_s, tx, k,
+                                      **run_kw)
         mp, bp_, vp_ = GP.run_iterations_general(msgs_p, llr_p, syn_p,
-                                                 tp, k)
+                                                 tp, k, **run_kw)
         np.testing.assert_array_equal(
             np.asarray(bp_)[vp_p], np.asarray(bx)[vp_x],
             err_msg=f"hard bits diverge at k={k} dtype={dtype}",
@@ -206,3 +210,90 @@ def test_decoder_pallas_decodes_below_threshold():
         batch.ref_bits_packed() ^ np.asarray(results)
     ).sum()
     assert errors == 0
+
+
+def test_bf16_pool_single_fill_presorted():
+    """The B=512-squeeze protocol: forced non-pow2 lane count
+    (StaticParams.parallel_factor_user), bf16 LLR pool (lossless — the
+    LLR state is bf16 anyway), single-fill pool (n == B exercises the
+    identity init-gather skip), presorted decode_presorted entry.
+    Results must equal the f32-pool decode() path's."""
+    import jax.numpy as jnp
+
+    code = make_regular_code(512, 3, 6, seed=29)
+    ch = BIAWGNChannel(0.72)
+    n = 24
+    batch = create_data(code, ch, 0, n)
+    dyn = DynamicParams(num_iter_max=60, num_iter_check_parity=5,
+                        loading_factor=1, target_errors=15)
+    dec = LDPCDecoder(
+        code, ch,
+        StaticParams(parallel_factor_user=n, kernel_impl="pallas",
+                     message_dtype="bfloat16", qc_autodetect=False),
+    )
+    vn = np.asarray(dec.cc.vn_order)
+    cn = np.asarray(dec.cc.cn_order)
+    vals = jnp.asarray(ch.llr_np(batch.values)[vn]).astype(jnp.bfloat16)
+    syn = jnp.asarray(batch.syndromes[cn].astype(np.int8))
+    results, stats = dec.decode_presorted(dyn, n, vals, syn,
+                                          input_is_llr=True)
+    errors = np.bitwise_count(batch.ref_bits_packed() ^ results).sum()
+    assert int(errors) == 0
+
+
+def test_minsum_matches_oracle_bf16():
+    """Normalized/offset min-sum on the general path: Pallas streams vs
+    the ops/decode oracle, bit-identical bits/flags across iterations."""
+    code = make_regular_code(768, 3, 6, seed=31)
+    _compare_paths(code, 0.7, 32, 7, jnp.bfloat16,
+                   alg_kw=dict(alg="min-sum", beta=0.25, alpha=0.9,
+                               clamp=48.0))
+
+
+def test_minsum_int8_matches_oracle():
+    """int8 fixed-point min-sum messages (quantize-on-write, dequantize
+    at load): the quantization must match qc_decode.quantize_msgs on
+    both paths."""
+    code = make_regular_code(768, 3, 6, seed=33)
+    _compare_paths(code, 0.7, 32, 9, jnp.int8,
+                   alg_kw=dict(alg="min-sum", beta=0.0, alpha=0.875,
+                               qscale=4.0))
+
+
+def test_minsum_irregular_alpha_table_matches_oracle():
+    """Multi-bucket irregular code with per-check-degree normalization
+    (resolve_minsum_alpha's degree-matched path)."""
+    code = make_irregular_code(
+        192, 96, {2: 0.4, 3: 0.4, 4: 0.2}, {5: 0.5, 6: 0.5}, seed=13
+    )
+    _compare_paths(code, 0.6, 16, 11, jnp.bfloat16,
+                   alg_kw=dict(alg="min-sum", beta=0.0,
+                               alpha=((5, 0.9), (6, 0.95), (0, 0.875)),
+                               clamp=64.0))
+
+
+def test_decoder_minsum_general_int8_decodes():
+    """End-to-end: non-QC code through the decoder with
+    algorithm='min-sum' + int8 messages (previously rejected with
+    'QC paths only'). NMS alpha 0.8 on (3,6) at sigma 0.7 has ~0.17
+    sigma of margin — must decode clean."""
+    code = make_regular_code(512, 3, 6, seed=41)
+    ch = BIAWGNChannel(0.7)
+    n = 16
+    batch = create_data(code, ch, 0, n)
+    dyn = DynamicParams(num_iter_max=80, num_iter_check_parity=5,
+                        loading_factor=2, target_errors=15)
+    res = {}
+    for impl in ("pallas", "xla"):
+        dec = LDPCDecoder(
+            code, ch,
+            StaticParams(max_log_parallel_factor_user=3, kernel_impl=impl,
+                         algorithm="min-sum", minsum_alpha=0.8,
+                         minsum_offset=0.0, message_dtype="int8",
+                         qc_autodetect=False),
+        )
+        results, stats = dec.decode(dyn, n, batch.values, batch.syndromes)
+        res[impl] = np.asarray(results)
+        errors = np.bitwise_count(batch.ref_bits_packed() ^ res[impl]).sum()
+        assert int(errors) == 0, impl
+    np.testing.assert_array_equal(res["pallas"], res["xla"])
