@@ -159,10 +159,12 @@ def parity_violations(
     bits_c = jnp.take(bits, tables.cn_edge_vnrow, axis=0)  # [E, B]
     viol = []
     for b in tables.cn_buckets:
-        x = jnp.sum(
-            _bucket_view(bits_c, b).astype(jnp.int32), axis=1
-        )  # [count, B]
-        s = syn[b.row_start : b.row_start + b.count].astype(jnp.int32)
+        # int8 accumulator (values <= degree <= 126): an int32 one
+        # materializes a full edge-sized s32 temp before the reduce —
+        # see general_pallas.parity_violations_general
+        acc = jnp.int8 if b.degree <= 126 else jnp.int32
+        x = jnp.sum(_bucket_view(bits_c, b), axis=1, dtype=acc)
+        s = syn[b.row_start : b.row_start + b.count].astype(acc)
         viol.append(((x + s) & 1) > 0)
     return jnp.any(jnp.concatenate(viol, axis=0), axis=0)  # [B]
 
@@ -176,7 +178,8 @@ def syndrome_from_bits(
     bits_c = jnp.take(bits, tables.cn_edge_vnrow, axis=0)
     out = []
     for b in tables.cn_buckets:
-        x = jnp.sum(_bucket_view(bits_c, b).astype(jnp.int32), axis=1)
+        acc = jnp.int8 if b.degree <= 126 else jnp.int32
+        x = jnp.sum(_bucket_view(bits_c, b), axis=1, dtype=acc)
         out.append((x & 1).astype(jnp.int8))
     return jnp.concatenate(out, axis=0)
 

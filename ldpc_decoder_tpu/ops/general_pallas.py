@@ -502,8 +502,15 @@ def parity_violations_general(
     bits_c = jnp.take(bits, tables.cn_edge_vnrow, axis=0)  # [ec_pad, B]
     viol = []
     for p in tables.cn_buckets:
-        x = jnp.sum(_bucket_edges(bits_c, p).astype(jnp.int32), axis=0)
-        s = syn[p.node_start : p.node_start + p.count_pad].astype(jnp.int32)
+        # accumulate the 0/1 bits in int8 (values <= degree): an int32
+        # accumulator materializes a FULL edge-sized s32 temp before the
+        # reduce — 9 GB at [3.1M, 768], the measured B=768 OOM
+        # (scripts/out/try_gp_minsum_b768_oom.log); int8 keeps the only
+        # edge-sized temp the gather output itself. Degrees > 126 would
+        # overflow — no practical LDPC check is near that wide.
+        acc = jnp.int8 if p.degree <= 126 else jnp.int32
+        x = jnp.sum(_bucket_edges(bits_c, p), axis=0, dtype=acc)
+        s = syn[p.node_start : p.node_start + p.count_pad].astype(acc)
         ok = tables.valid_c[p.node_start : p.node_start + p.count_pad]
         viol.append((((x + s) & 1) > 0) & ok)
     return jnp.any(jnp.concatenate(viol, axis=0), axis=0)

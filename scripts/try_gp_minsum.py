@@ -13,7 +13,7 @@ from the stream kernels. On codes with margin to the min-sum threshold
 legitimate operating mode: the reference itself only ships exact BP, so
 this is a capability beyond parity, benchmarked honestly as such.
 
-Usage: python scripts/try_gp_minsum.py [B] [sigma] [dtype]
+Usage: python scripts/try_gp_minsum.py [B] [sigma] [dtype] [k] [alpha]
   B      lane count (default 768; must be a multiple of 128)
   sigma  AWGN noise (default 0.84 — the general-path benchmark point)
   dtype  int8 (default) or bfloat16
@@ -37,6 +37,8 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 768
     sigma = float(sys.argv[2]) if len(sys.argv) > 2 else 0.84
     dtype = sys.argv[3] if len(sys.argv) > 3 else "int8"
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    alpha = float(sys.argv[5]) if len(sys.argv) > 5 else 0.8
     n_vars = 1 << 20
     code = make_regular_code(n_vars, 3, 6, seed=9)
     ch = BIAWGNChannel(sigma)
@@ -45,13 +47,13 @@ def main():
         StaticParams(parallel_factor_user=B,
                      message_dtype=dtype,
                      algorithm="min-sum",
-                     minsum_alpha=0.8,  # NMS, validated (3,6) choice
+                     minsum_alpha=alpha,  # NMS, validated (3,6) choice
                      minsum_offset=0.0,
                      qc_autodetect=False),
     )
     print(f"B={dec.parallel_factor()} sigma={sigma} dtype={dtype} "
-          f"alg=min-sum alpha=0.8", flush=True)
-    dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=10,
+          f"alg=min-sum alpha={alpha} k={k}", flush=True)
+    dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=k,
                         loading_factor=1, target_errors=15)
     n = B
     batch = create_data(code, ch, 0, n)
