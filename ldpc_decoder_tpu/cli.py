@@ -17,9 +17,14 @@ Flag-compatible with the reference binary (main.cpp:540-563):
   -r n  number of runs (default 1)
   -s n  first frame index (seed base) for reproducibility
 
-TPU-specific extras (long options): --dtype {float32,bfloat16} for message
-storage, --check-period k (the reference's non-CLI m_num_iter_check_parity),
---memory-bytes to override HBM autodetection.
+TPU-specific extras (long options): --dtype {float32,bfloat16,int8} for
+message storage, --check-period k (the reference's non-CLI
+m_num_iter_check_parity), --memory-bytes to override HBM autodetection,
+--lanes for an exact resident-frame count (bypasses the memory model),
+--algorithm/--minsum-alpha/--minsum-offset/--minsum-clamp/--qscale for the
+min-sum rule, --kernel and --first-check (see below). Every StaticParams/
+DynamicParams capability is drivable from here — the reference exposes its
+full surface through main.cpp:87-191, and this CLI matches that standard.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", type=float, default=0.0, metavar="BER",
                    help="frame-error BER threshold (alternative to -e)")
     p.add_argument("-c", type=int, required=True, metavar="CHANNEL",
-                   help="0 = bsc, 1 = awgn")
+                   help="0 = bsc, 1 = awgn, 2 = erasure")
     p.add_argument("-e", type=int, default=0, metavar="ERRORS",
                    help="frame-error bit count threshold")
     p.add_argument("-f", type=str, required=True, metavar="ALIST",
@@ -60,17 +65,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-r", type=int, default=1, metavar="RUNS")
     p.add_argument("-s", type=int, default=0, metavar="START",
                    help="first frame index (reproducibility seed)")
-    p.add_argument("--dtype", choices=["float32", "bfloat16"],
-                   default="float32", help="message storage dtype")
+    p.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
+                   default="float32",
+                   help="message storage dtype (int8: fixed-point "
+                   "min-sum quantization, requires --algorithm min-sum; "
+                   "see --qscale)")
     p.add_argument("--check-period", type=int, default=10,
                    help="iterations between parity checks/refills")
     p.add_argument("--memory-bytes", type=int, default=None,
                    help="override detected device memory")
+    p.add_argument("--lanes", type=int, default=None, metavar="COUNT",
+                   help="exact number of frames resident on device "
+                   "(bypasses the memory model and the -p cap — the "
+                   "caller owns the OOM risk; production counts should "
+                   "be multiples of 128, e.g. the measured sweet spots "
+                   "B=384 on the general path, B=768 for int8 min-sum)")
     p.add_argument("--algorithm", choices=["sum-product", "min-sum"],
                    default="sum-product",
                    help="check-node rule (min-sum: offset/normalized "
                    "two-minimum approximation, higher throughput, small "
                    "threshold loss; any code)")
+    p.add_argument("--minsum-alpha", type=str, default="1.0",
+                   metavar="ALPHA",
+                   help="normalized-min-sum scaling: a float (uniform) "
+                   "or a per-check-degree table 'd:a,d:a,...' with an "
+                   "optional 0:a fallback for unlisted degrees, e.g. "
+                   "'6:0.8125,7:0.8,0:0.8125'")
+    p.add_argument("--minsum-offset", type=float, default=0.5,
+                   metavar="BETA",
+                   help="offset-min-sum subtraction beta "
+                   "(|out| = max(alpha*min - beta, 0))")
+    p.add_argument("--minsum-clamp", type=float, default=64.0,
+                   metavar="CLAMP",
+                   help="symmetric LLR clamp on min-sum variable "
+                   "messages")
+    p.add_argument("--qscale", type=float, default=4.0, metavar="SCALE",
+                   help="int8 fixed-point steps per LLR unit (power of "
+                   "two; range +-127/SCALE, resolution 1/SCALE) for "
+                   "--dtype int8")
     p.add_argument("--kernel", choices=["auto", "pallas", "xla"],
                    default="auto", help="QC decode kernel implementation")
     p.add_argument("--first-check", type=int, default=0, metavar="ITER",
@@ -81,6 +113,29 @@ def build_parser() -> argparse.ArgumentParser:
                    "the harness warns when the measured min iteration "
                    "count hits the burst boundary")
     return p
+
+
+def parse_minsum_alpha(s: str):
+    """--minsum-alpha value: a float, or a 'd:a,d:a' per-degree table
+    (the degree-matched normalization for irregular codes,
+    ops/qc_decode.resolve_minsum_alpha; 0 = fallback degree)."""
+    s = s.strip()
+    if ":" not in s:
+        try:
+            return float(s)
+        except ValueError:
+            raise ValueError(f"invalid --minsum-alpha {s!r}: expected a "
+                             f"float or a 'd:a,d:a' table")
+    table = {}
+    for part in s.split(","):
+        try:
+            d, a = part.split(":")
+            table[int(d)] = float(a)
+        except ValueError:
+            raise ValueError(
+                f"invalid --minsum-alpha entry {part!r}: expected "
+                f"'degree:alpha' (degree 0 = fallback)")
+    return table
 
 
 def main(argv=None) -> int:
@@ -110,13 +165,23 @@ def main(argv=None) -> int:
     )
     print(f"Target number of errors per frame: {target_errors}\n")
 
-    static_p = StaticParams(
-        max_log_parallel_factor_user=args.p,
-        message_dtype=args.dtype,
-        device_memory_bytes=args.memory_bytes,
-        algorithm=args.algorithm,
-        kernel_impl=args.kernel,
-    )
+    try:
+        alpha = parse_minsum_alpha(args.minsum_alpha)
+        static_p = StaticParams(
+            max_log_parallel_factor_user=args.p,
+            parallel_factor_user=args.lanes,
+            message_dtype=args.dtype,
+            device_memory_bytes=args.memory_bytes,
+            algorithm=args.algorithm,
+            kernel_impl=args.kernel,
+            minsum_alpha=alpha,
+            minsum_offset=args.minsum_offset,
+            minsum_clamp=args.minsum_clamp,
+            minsum_qscale=args.qscale,
+        )
+    except ValueError as e:
+        print(e)
+        return 1
     dyn_p = DynamicParams(
         num_iter_max=args.i,
         num_iter_check_parity=args.check_period,

@@ -876,6 +876,12 @@ class LDPCDecoder:
             vals = jnp.take(pool_values, safe, axis=1)
         llr = vals if input_is_llr else self.channel.llr_from_channel(vals)
         llr = _pad_rows(llr, self.tables.erased_mask_sorted.shape[0])
+        # NB this where() must stay UNCONDITIONAL: it is what makes the
+        # single-fill identity-skip above (vals = pool_values) donation-
+        # safe — for codes with no erasures and input_is_llr it is the
+        # only op materializing a fresh buffer between the live pool
+        # argument and state.llr, whose aliasing would trip the host-poll
+        # superstep's donate_argnums (see the syndrome NB below).
         llr = jnp.where(self.tables.erased_mask_sorted, 0.0, llr)
         # store LLR state in the kernels' consumption dtype: they cast it
         # per superstep anyway (~2.5 ms of pure conversion traffic per
@@ -887,8 +893,9 @@ class LDPCDecoder:
         # NB: no identity-skip for the syndrome take — _pad_rows is a
         # no-op for unpadded tables, and state.syn aliasing pool_syn
         # trips the host-poll superstep's donate_argnums (donated state
-        # leaf == live pool argument). The values path is safe: the
-        # erased-mask where() below always materializes a fresh buffer.
+        # leaf == live pool argument). The values path is safe because
+        # the erased-mask where() above always materializes a fresh
+        # buffer (and must stay unconditional, see its NB).
         syn = _pad_rows(jnp.take(pool_syn, safe, axis=1),
                         getattr(self.tables, "nc_pad", self.code.n_checks))
         msgs = self._init_messages(llr, self.tables, dtype=self.msg_dtype,

@@ -87,6 +87,19 @@ class StaticParams:
                 raise ValueError(
                     f"parallel_factor_user must be positive, got "
                     f"{self.parallel_factor_user}")
+            if (self.parallel_factor_user > 128
+                    and self.parallel_factor_user % 128 != 0):
+                import warnings
+
+                warnings.warn(
+                    f"parallel_factor_user={self.parallel_factor_user} is "
+                    f"> 128 but not a multiple of 128: the Pallas paths "
+                    f"fall back to one giant lane block (lb=B), which can "
+                    f"exceed the per-call VMEM limit or trip the Mosaic "
+                    f"compiler at large B — use a multiple of 128 (the "
+                    f"VPU lane-block width) for production counts",
+                    stacklevel=2,
+                )
         valid = ("float32", "bfloat16", "float8_e5m2", "int8")
         if self.message_dtype not in valid:
             raise ValueError(

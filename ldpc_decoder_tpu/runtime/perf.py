@@ -12,15 +12,15 @@ kernels per iteration).
 from __future__ import annotations
 
 
-def grouped_bytes_per_iter(tables, B: int, msg_bytes: int = 2,
-                           emit: bool = False) -> int:
-    """HBM bytes moved by ONE BP iteration of the grouped Pallas path.
+def grouped_bytes_split(tables, B: int, msg_bytes: int = 2,
+                        emit: bool = False) -> tuple[int, int]:
+    """(cn_bytes, vn_bytes) HBM traffic of ONE grouped BP iteration.
 
-    Counts, per check-node pass: a rotated read of every real message
-    block (seam mode reads tile+seam rows per tile, pair mode reads 2x),
-    the syndrome row blocks (int8), and an aligned write of every r_c
-    block. Per variable-node pass: the same for the active column groups
-    (degree-1 groups are launch-skipped on non-emit iterations), plus the
+    Check-node pass: a rotated read of every real message block (seam
+    mode reads tile+seam rows per tile, pair mode reads 2x), the syndrome
+    row blocks (int8), and an aligned write of every r_c block.
+    Variable-node pass: the same for the active column groups (degree-1
+    groups are launch-skipped on non-emit iterations), plus the
     channel-LLR blocks (message dtype) and the hard-decision bit blocks
     (int8) when ``emit``.
     """
@@ -45,7 +45,15 @@ def grouped_bytes_per_iter(tables, B: int, msg_bytes: int = 2,
     )
     if emit:
         vn += tables.C * blk * 1          # hard-decision bits (int8)
-    return int(cn + vn)
+    return int(cn), int(vn)
+
+
+def grouped_bytes_per_iter(tables, B: int, msg_bytes: int = 2,
+                           emit: bool = False) -> int:
+    """HBM bytes moved by ONE BP iteration of the grouped Pallas path
+    (see :func:`grouped_bytes_split` for the per-kernel accounting)."""
+    cn, vn = grouped_bytes_split(tables, B, msg_bytes, emit)
+    return cn + vn
 
 
 def regular_bytes_per_iter(tables, B: int, msg_bytes: int = 2,

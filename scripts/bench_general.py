@@ -31,6 +31,14 @@ def main():
     from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
     B_force = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    if 0 < B_force < 128:
+        # pre-round-4 invocations passed a LOG2 lane cap here (e.g. 8 ->
+        # B=256); the positional arg is now an EXACT lane count, so a
+        # stale call would silently bench a tiny batch — refuse it
+        sys.exit(
+            f"B={B_force} looks like a stale log2 lane cap (the "
+            f"positional arg is an EXACT lane count since round 4); "
+            f"pass the real count, e.g. {1 << B_force}")
     sigma = float(sys.argv[2]) if len(sys.argv) > 2 else 0.84
     n_vars = 1 << 20
 
