@@ -93,9 +93,18 @@ def run_rung(code, qc, channel, dyn, logp, n_dev, frames_per_dev, dtype):
 
 def main():
     dry = os.environ.get("MULTICHIP_DRY", "0") == "1"
-    if dry and jax.default_backend() != "cpu":
-        log("MULTICHIP_DRY=1 expects the CPU platform "
-            "(JAX_PLATFORMS=cpu + xla_force_host_platform_device_count)")
+    if dry:
+        # self-contained dry run: force the virtual CPU mesh up front —
+        # env vars alone cannot (the site hook overrides JAX_PLATFORMS,
+        # registering the tunneled TPU; __graft_entry__ has the full
+        # story), and touching the default platform first would
+        # initialize that backend
+        n_want = int(os.environ.get("MULTICHIP_DRY_DEVICES", "8"))
+        jax.config.update("jax_platforms", "cpu")
+        if len(jax.devices()) < n_want:
+            from __graft_entry__ import _force_virtual_cpu_mesh
+
+            _force_virtual_cpu_mesh(n_want)
     devs = jax.devices()
     log(f"platform={devs[0].platform} devices={len(devs)}")
     frames_per_dev = int(os.environ.get("BENCH_FRAMES_PER_DEV", "512"))
