@@ -70,6 +70,7 @@ from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD, phi
 from ldpc_decoder_tpu.ops.qc_decode import resolve_minsum_alpha
 from ldpc_decoder_tpu.ops.qc_pallas import (
     _compiler_params,
+    _copysign_bits,
     _interpret,
     _lane_block,
     _phi_abs_f32,
@@ -256,13 +257,22 @@ def _cn_kernel(phi_high: float, phi_pre: float, out_dtype):
     def kernel(syn_ref, m_ref, o_ref):
         m = m_ref[...].astype(jnp.float32)  # [d, T, lb]
         a = jnp.abs(m)
-        neg = jnp.signbit(m)
+        # sign-bit-domain parity algebra (identity + measurements:
+        # qc_pallas_grouped._cn_kernel_g)
+        u32 = jnp.uint32
+        sbit = jnp.uint32(0x80000000)
+        sb = jax.lax.bitcast_convert_type(m, u32) & sbit  # [d, T, lb]
+        d = m.shape[0]
+        X = syn_ref[...].astype(u32) << 31
+        if d % 2:
+            X = X ^ sbit
+        for k in range(d):
+            X = X ^ sb[k]
         ext = jnp.sum(a, axis=0)  # [T, lb]
-        pos = jnp.sum(1 - neg.astype(jnp.int32), axis=0)
-        parity = (syn_ref[...].astype(jnp.int32) + pos) & 1
         res = _phi_abs_f32(ext[None] - a, phi_high, phi_pre)
-        is_neg = (neg.astype(jnp.int32) ^ parity[None]) == 1
-        o_ref[...] = jnp.where(is_neg, -res, res).astype(out_dtype)
+        r = jax.lax.bitcast_convert_type(res, u32) | (sb ^ X[None])
+        o_ref[...] = jax.lax.bitcast_convert_type(
+            r, jnp.float32).astype(out_dtype)
 
     return kernel
 
@@ -279,7 +289,7 @@ def _vn_kernel(phi_high: float, phi_pre: float, out_dtype):
         tot = llr_ref[...].astype(jnp.float32) + jnp.sum(r, axis=0)
         pre = tot.astype(out_dtype).astype(jnp.float32)[None] - r
         res = _phi_abs_f32(jnp.abs(pre), phi_high, phi_pre)
-        o_ref[...] = jnp.copysign(res, pre).astype(out_dtype)
+        o_ref[...] = _copysign_bits(res, pre).astype(out_dtype)
         bits_ref[...] = (~jnp.signbit(tot)).astype(jnp.int8)
 
     return kernel
@@ -306,9 +316,15 @@ def _cn_kernel_minsum(beta: float, alpha: float, qscale: float, d: int):
     def kernel(syn_ref, m_ref, o_ref):
         m = m_ref[...].astype(jnp.float32) * jnp.float32(inv)  # [d, T, lb]
         a = jnp.abs(m)
-        neg = jnp.signbit(m)
-        pos_votes = jnp.sum(1 - neg.astype(jnp.int32), axis=0)
-        parity = (syn_ref[...].astype(jnp.int32) + pos_votes) & 1
+        # sign-bit-domain parity algebra (see _cn_kernel above)
+        u32 = jnp.uint32
+        sbit = jnp.uint32(0x80000000)
+        sb = jax.lax.bitcast_convert_type(m, u32) & sbit
+        X = syn_ref[...].astype(u32) << 31
+        if d % 2:
+            X = X ^ sbit
+        for k in range(d):
+            X = X ^ sb[k]
         m1 = a[0]
         m2 = jnp.full_like(m1, jnp.inf)
         pos = jnp.zeros(m1.shape, jnp.int32)
@@ -324,8 +340,8 @@ def _cn_kernel_minsum(beta: float, alpha: float, qscale: float, d: int):
             other = jnp.where(pos == k, m2, m1)
             res = jnp.maximum(
                 jnp.float32(alpha) * other - jnp.float32(beta), 0.0)
-            is_neg = (neg[k].astype(jnp.int32) ^ parity) == 1
-            outs.append(jnp.where(is_neg, -res, res))
+            r = jax.lax.bitcast_convert_type(res, u32) | (sb[k] ^ X)
+            outs.append(jax.lax.bitcast_convert_type(r, jnp.float32))
         _store_block(o_ref, jnp.stack(outs, axis=0), qscale)
 
     return kernel

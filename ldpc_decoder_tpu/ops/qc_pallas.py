@@ -97,6 +97,18 @@ def _phi_abs_f32(x, high: float = HIGH_THRESHOLD,
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
 
+def _copysign_bits(mag, src):
+    """copysign(mag, src) for mag >= 0 f32 via sign-bit OR — measured
+    cheaper on the v5e VPU than jnp.copysign / float ±1 products / the
+    int signbit-xor-select chain (scripts/out/micro_kernel_split_r5*,
+    micro_overlap5 logs). Exact: mag's sign bit is clear, so OR-ing
+    src's sign bit reproduces copysign for every value incl. ±0/inf."""
+    u32 = jnp.uint32
+    b = jax.lax.bitcast_convert_type(mag, u32) | (
+        jax.lax.bitcast_convert_type(src, u32) & jnp.uint32(0x80000000))
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
 def _signed_fine(s: np.ndarray, tile: int) -> np.ndarray:
     """s mod tile, mapped to the signed window [-tile/2, tile/2)."""
     b = s % tile
@@ -270,6 +282,19 @@ def _compiler_params(n_grid_dims: int):
     return pltpu.CompilerParams(**kw) if kw else None
 
 
+def _pipeline_mode():
+    """LDPC_BUF_COUNT=n (n>2): n-deep multiple buffering on the message
+    BlockSpecs — more outstanding DMAs per operand stream (experiment
+    knob; per-stream DMA measured ~30-40 GB/s at the default depth,
+    scripts/micro_overlap4.py)."""
+    import os
+
+    n = int(os.environ.get("LDPC_BUF_COUNT", "0"))
+    if n > 2:
+        return pl.Buffered(buffer_count=n, use_lookahead=True)
+    return None
+
+
 LANE_BLOCK = 128  # frames per kernel block; keeps Mosaic's unaligned
 # dynamic sublane slicing happy and bounds VMEM for any batch width
 
@@ -387,10 +412,21 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
         for k in range(d_c)
     ]
     a = [jnp.abs(x) for x in m]
-    votes = syn_ref[0].astype(jnp.int32)
-    for x in m:
-        votes = votes + (1 - jnp.signbit(x).astype(jnp.int32))
-    parity = votes & 1
+    # sign-bit-domain parity algebra (cheapest measured form; identity
+    # and measurements: qc_pallas_grouped._cn_kernel_g)
+    u32 = jnp.uint32
+    sbit = jnp.uint32(0x80000000)
+    sb = [jax.lax.bitcast_convert_type(x, u32) & sbit for x in m]
+    X = syn_ref[0].astype(u32) << 31
+    if d_c % 2:
+        X = X ^ sbit
+    for b in sb:
+        X = X ^ b
+
+    def signed(res, k):
+        r = jax.lax.bitcast_convert_type(res, u32) | (sb[k] ^ X)
+        return jax.lax.bitcast_convert_type(r, jnp.float32)
+
     if alg == "min-sum":
         m1 = a[0]
         m2 = jnp.full_like(a[0], jnp.inf)
@@ -404,18 +440,14 @@ def _cn_kernel(tab_ref, *refs, d_c: int, tile: int, seam: int, alg: str,
             other = jnp.where(pos == k, m2, m1)
             res = jnp.maximum(
                 jnp.float32(alpha) * other - jnp.float32(beta), 0.0)
-            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
-            out_ref[0, k] = jnp.where(is_neg, -res, res).astype(
-                out_ref.dtype)
+            out_ref[0, k] = signed(res, k).astype(out_ref.dtype)
     else:
         ext = a[0]
         for x in a[1:]:
             ext = ext + x
         for k in range(d_c):
             res = _phi_abs_f32(ext - a[k], phi_high, phi_pre)
-            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
-            out_ref[0, k] = jnp.where(is_neg, -res, res).astype(
-                out_ref.dtype)
+            out_ref[0, k] = signed(res, k).astype(out_ref.dtype)
 
 
 def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
@@ -457,7 +489,7 @@ def _vn_kernel(tab_ref, *refs, d_v: int, tile: int, seam: int,
             out_msgs[0, k] = jnp.clip(pre, -clamp, clamp).astype(
                 out_msgs.dtype)
         else:
-            out_msgs[0, k] = jnp.copysign(
+            out_msgs[0, k] = _copysign_bits(
                 _phi_abs_f32(jnp.abs(pre), phi_high, phi_pre), pre
             ).astype(out_msgs.dtype)
 

@@ -44,12 +44,24 @@ from ldpc_decoder_tpu.ops.phi import PRE_THRESHOLD
 from ldpc_decoder_tpu.ops.qc_pallas import (
     MAX_SEAM,
     _compiler_params,
+    _copysign_bits,
     _interpret,
     _lane_block,
     _phi_abs_f32,
+    _pipeline_mode,
     _scratch_rows,
     _signed_fine,
 )
+
+
+def _ablate() -> frozenset:
+    """Timing-only kernel ablations for the overlap investigation
+    (scripts/micro_overlap5.py): LDPC_ABLATE=static_halo,no_votes,...
+    WRONG RESULTS when set — never enable outside micro benchmarks."""
+    import os
+
+    return frozenset(
+        x for x in os.environ.get("LDPC_ABLATE", "").split(",") if x)
 
 
 def _group_tile_budget() -> int:
@@ -236,9 +248,11 @@ def _rot_specs_flat(d: int, tile: int, n_tiles: int, lb: int, seam: int,
                         m * n_halo + jnp.where(is_next, 0, n_halo - 1), l)
 
             specs.append(pl.BlockSpec((1, tile, lb), main_map,
-                                      memory_space=pltpu.VMEM))
+                                      memory_space=pltpu.VMEM,
+                                      pipeline_mode=_pipeline_mode()))
             specs.append(pl.BlockSpec((1, seam, lb), halo_map,
-                                      memory_space=pltpu.VMEM))
+                                      memory_space=pltpu.VMEM,
+                                      pipeline_mode=_pipeline_mode()))
         else:
             for which in (0, 1):
                 def index_map(i, j, l, tab, _k=k, _w=which):
@@ -246,7 +260,8 @@ def _rot_specs_flat(d: int, tile: int, n_tiles: int, lb: int, seam: int,
                     return (tab[e, 0], (tab[e, 2] + j + _w) % n_tiles, l)
 
                 specs.append(pl.BlockSpec((1, tile, lb), index_map,
-                                          memory_space=pltpu.VMEM))
+                                          memory_space=pltpu.VMEM,
+                                          pipeline_mode=_pipeline_mode()))
     return specs
 
 
@@ -277,13 +292,18 @@ def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch,
         main, halo = refs[2 * k], refs[2 * k + 1]
         scratch[k, seam : seam + tile, :] = main[0].astype(jnp.float32) * sc
         # sign-selected halo staged at the matching end (qc_pallas._window)
-        pos = jnp.where(tab_ref[e_base + i * d + k, 3] >= seam,
-                        seam + tile, 0)
-        scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.float32) * sc
+        if "static_halo" in _ablate():  # timing-only: wrong results
+            scratch[k, 0:seam, :] = halo[0].astype(jnp.float32) * sc
+        else:
+            pos = jnp.where(tab_ref[e_base + i * d + k, 3] >= seam,
+                            seam + tile, 0)
+            scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.float32) * sc
     else:
         scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.float32) * sc
         scratch[k, tile : 2 * tile, :] = (
             refs[2 * k + 1][0].astype(jnp.float32) * sc)
+    if "static_fine" in _ablate():  # timing-only: wrong results
+        return scratch[k, 0:tile, :]
     fine = tab_ref[e_base + i * d + k, 3]
     return scratch[k, pl.ds(fine, tile), :]
 
@@ -315,10 +335,31 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
     m = [_window_flat(refs, k, tab_ref, block_start, i, d, tile, seam,
                       scratch, inv) for k in range(d)]
     a = [jnp.abs(x) for x in m]
-    votes = syn_ref[0].astype(jnp.int32)
-    for x in m:
-        votes = votes + (1 - jnp.signbit(x).astype(jnp.int32))
-    parity = votes & 1
+    # Sign algebra in the SIGN-BIT domain (u32 bitwise), not via int
+    # compare/select or float ±1 products (both measured slower —
+    # micro_overlap5/micro_kernel_split_r5b logs): with sb_k = sign bit
+    # of m_k, the old votes/parity formula reduces to
+    #   X       = (syn ⊕ d) << 31 ⊕ (⊕_j sb_j)
+    #   sign_k  = sb_k ⊕ X
+    #   out_k   = res_k | sign_k     (bitwise OR; res_k ≥ 0 so its sign
+    #             bit is clear — exact, incl. ±0/inf)
+    # because parity = (syn + d − #neg) mod 2 and #neg mod 2 = ⊕ sb_j.
+    u32 = jnp.uint32
+    sbit = jnp.uint32(0x80000000)
+    sb = [jax.lax.bitcast_convert_type(x, u32) & sbit for x in m]
+    # syn is 0/1 int8: its sign-bit contribution is syn << 31 (an i1-mask
+    # where() here trips a Mosaic relayout bug on the remote compiler)
+    X = syn_ref[0].astype(u32) << 31
+    if d % 2:
+        X = X ^ sbit
+    if "no_votes" not in _ablate():  # timing-only knob: wrong when set
+        for b in sb:
+            X = X ^ b
+
+    def signed(res, k):
+        r = jax.lax.bitcast_convert_type(res, u32) | (sb[k] ^ X)
+        return jax.lax.bitcast_convert_type(r, jnp.float32)
+
     if alg == "min-sum":
         m1 = a[0]
         m2 = jnp.full_like(a[0], jnp.inf)
@@ -334,16 +375,17 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
             other = jnp.where(pos == k, m2, m1)
             res = jnp.maximum(
                 jnp.float32(alpha) * other - jnp.float32(beta), 0.0)
-            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
-            _store_msg(out_ref, k, jnp.where(is_neg, -res, res), qscale)
+            _store_msg(out_ref, k, signed(res, k), qscale)
     else:
         ext = a[0]
         for x in a[1:]:
             ext = ext + x
         for k in range(d):
             res = _phi_abs_f32(ext - a[k], pre=phi_pre)
-            is_neg = (jnp.signbit(m[k]).astype(jnp.int32) ^ parity) == 1
-            out_ref[k] = jnp.where(is_neg, -res, res).astype(out_ref.dtype)
+            if "no_signs" in _ablate():  # timing-only: wrong results
+                out_ref[k] = res.astype(out_ref.dtype)
+                continue
+            out_ref[k] = signed(res, k).astype(out_ref.dtype)
 
 
 def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
@@ -389,7 +431,7 @@ def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,
         if alg == "min-sum":
             _store_msg(out_msgs, k, jnp.clip(pre, -clamp, clamp), qscale)
         else:
-            out_msgs[k] = jnp.copysign(
+            out_msgs[k] = _copysign_bits(
                 _phi_abs_f32(jnp.abs(pre), pre=phi_pre), pre
             ).astype(out_msgs.dtype)
 
@@ -455,7 +497,8 @@ def cn_pass_grouped(msgs_v, syn3, r_c_prev, tables: GroupedQCPallasTables,
             out_specs=pl.BlockSpec(
                 (d, T, lb),
                 lambda i, j, l, *_, _bs=g.block_start // d: (_bs + i, j, l),
-                memory_space=pltpu.VMEM),
+                memory_space=pltpu.VMEM,
+                pipeline_mode=_pipeline_mode()),
             scratch_shapes=[
                 pltpu.VMEM((d, _scratch_rows(T, tables.seam), lb),
                            jnp.float32)
@@ -527,7 +570,8 @@ def vn_pass_grouped(r_c, llr3, msgs_prev, tables: GroupedQCPallasTables,
             pl.BlockSpec(
                 (d, T, lb),
                 lambda i, j, l, *_, _bs=g.block_start // d: (_bs + i, j, l),
-                memory_space=pltpu.VMEM),
+                memory_space=pltpu.VMEM,
+                pipeline_mode=_pipeline_mode()),
         ]
         out_shape = [
             jax.ShapeDtypeStruct((tables.nbv_pad, Z, B), r_c.dtype),
