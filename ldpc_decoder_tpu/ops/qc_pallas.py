@@ -291,7 +291,8 @@ def _pipeline_mode():
 
     n = int(os.environ.get("LDPC_BUF_COUNT", "0"))
     if n > 2:
-        return pl.Buffered(buffer_count=n, use_lookahead=True)
+        look = os.environ.get("LDPC_BUF_LOOKAHEAD", "0") == "1"
+        return pl.Buffered(buffer_count=n, use_lookahead=look)
     return None
 
 

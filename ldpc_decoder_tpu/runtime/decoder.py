@@ -158,10 +158,14 @@ class LDPCDecoder:
         self.channel = channel
         self.params = static_params or StaticParams()
         self.device = device
+        perm_v = perm_c = None
         if qc is None and self.params.qc_autodetect:
             # undeclared QC structure (plain alist from a production
             # standard) upgrades to the fused rotation kernels
-            from ldpc_decoder_tpu.codes.qc import detect_qc_structure
+            from ldpc_decoder_tpu.codes.qc import (
+                detect_qc_structure,
+                detect_qc_structure_permuted,
+            )
 
             qc = detect_qc_structure(self.code)
             if qc is not None:
@@ -171,6 +175,22 @@ class LDPCDecoder:
                     "detected QC structure Z=%d (%dx%d base) — using the "
                     "fused rotation kernels", qc.Z, qc.n_base_rows,
                     qc.n_base_cols)
+            elif self.code.n_erased_vars == 0:
+                # block-interleaved numberings of a QC code (common tool
+                # output) are renumbered on the fly: the permutations are
+                # composed into the sorted-order I/O tables below, so the
+                # user's natural-layout arrays decode unchanged. (Erased
+                # tails are numbering-dependent — those codes keep the
+                # declared structure path.)
+                res = detect_qc_structure_permuted(self.code)
+                if res is not None:
+                    qc, perm_v, perm_c = res
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "detected block-interleaved QC structure Z=%d "
+                        "(%dx%d base) — renumbering via the I/O order "
+                        "tables", qc.Z, qc.n_base_rows, qc.n_base_cols)
         self.qc = qc
         if qc is not None:
             from ldpc_decoder_tpu.ops import qc_decode as qc_ops
@@ -184,6 +204,26 @@ class LDPCDecoder:
                 or qct.n_edges != self.code.n_edges
             ):
                 raise ValueError("QC structure does not match the code")
+            if perm_v is not None:
+                # compose the interleaved->aligned renumbering into the
+                # natural<->sorted order tables: "natural" stays the
+                # USER's numbering everywhere downstream (decode() I/O,
+                # result packing, on-device datagen), while the kernels
+                # see the aligned sorted space
+                import dataclasses as _dc
+
+                inv_v = np.empty_like(perm_v)
+                inv_v[perm_v] = np.arange(perm_v.size, dtype=perm_v.dtype)
+                inv_c = np.empty_like(perm_c)
+                inv_c[perm_c] = np.arange(perm_c.size, dtype=perm_c.dtype)
+                qct = _dc.replace(
+                    qct,
+                    vn_order=jnp.asarray(
+                        inv_v[np.asarray(qct.vn_order)]),
+                    vn_pos=jnp.asarray(np.asarray(qct.vn_pos)[perm_v]),
+                    cn_order=jnp.asarray(
+                        inv_c[np.asarray(qct.cn_order)]),
+                )
             impl = (static_params or StaticParams()).kernel_impl
             regular = len(qct.row_groups) == 1 and len(qct.col_groups) == 1
             if self.params.message_dtype == "int8":
@@ -290,6 +330,15 @@ class LDPCDecoder:
         self.n_words = (self.code.n_vars + 31) // 32
         self._parallel_factor = self._choose_parallel_factor()
         self._superstep_cache: dict[tuple[int, int, int], callable] = {}
+        # natural<->sorted I/O orders: the tables' copies, NOT cc's —
+        # identical for every declared/aligned code, but for an
+        # interleaved-QC alist the detected renumbering is composed into
+        # the tables only (cc stays in the user's numbering for the
+        # generic-path index arrays)
+        self._vn_order_io = np.asarray(self.tables.vn_order)[
+            : self.code.n_vars]
+        self._cn_order_io = np.asarray(self.tables.cn_order)[
+            : self.code.n_checks]
 
     def _bind_alg(self, run_fn):
         """Bind the check-node rule (StaticParams.algorithm) into the
@@ -740,8 +789,8 @@ class LDPCDecoder:
         pad_syn = np.zeros((self.code.n_checks, n_pad), np.int8)
         pad_syn[:, :n_vecs] = syndromes
 
-        vn_order = np.asarray(self.cc.vn_order)
-        cn_order = np.asarray(self.cc.cn_order)
+        vn_order = self._vn_order_io
+        cn_order = self._cn_order_io
         from ldpc_decoder_tpu.parallel.mesh import batch_sharding
 
         pool_values = jax.device_put(
@@ -939,9 +988,10 @@ class LDPCDecoder:
             raise ValueError(
                 f"syndromes must be [{self.code.n_checks}, {n_vecs}]"
             )
-        # upload pools in sorted layouts (one-time permutation)
-        vn_order = np.asarray(self.cc.vn_order)
-        cn_order = np.asarray(self.cc.cn_order)
+        # upload pools in sorted layouts (one-time permutation); the
+        # tables' I/O orders fold in any detected alist renumbering
+        vn_order = self._vn_order_io
+        cn_order = self._cn_order_io
         pool_values = jnp.asarray(
             values[vn_order].astype(np.float32, copy=False)
         )
@@ -986,8 +1036,8 @@ class LDPCDecoder:
         max_iter = dyn_params.num_iter_max
         phi_pre = pre_from_infinity_threshold(dyn_params.infinity_threshold)
         burst = max(0, dyn_params.num_iter_first_check - k)
-        vn_order = np.asarray(self.cc.vn_order)
-        cn_order = np.asarray(self.cc.cn_order)
+        vn_order = self._vn_order_io
+        cn_order = self._cn_order_io
 
         inflight: deque = deque()
 

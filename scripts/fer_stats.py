@@ -11,13 +11,18 @@ carries (sigma, fer1, fer15, ber, dec_mbps), so the equal-FER comparison
 against the reference's (0.047, 200.276 Mb/s) is a curve, not a claim.
 
 Usage: [FRAMES=2048] [SIGMAS=0.94,0.95] [FER_ALIST=path] [FER_OUT=path]
-       [FIRST_CHECK=auto] python scripts/fer_stats.py
+       [FIRST_CHECK=auto] [CHANNEL=0] python scripts/fer_stats.py
 
 FER_ALIST evaluates a candidate code instead of the shipped flagship
 (used to qualify a lift seed's waterfall before promoting it).
 FIRST_CHECK: delayed first parity check for the throughput measurement;
 "auto" (default) uses 70 at sigma >= 0.94 (the flagship's measured
 quantized retire-min — bench.py policy) and 0 below.
+CHANNEL: 0 = BI-AWGN (SIGMAS are sigma), 1 = BSC (SIGMAS are flip
+probabilities p), 2 = erasure (SIGMAS are epsilon) — the same per-point
+protocol qualifies the secondary codes' README numbers at 2048
+frames/point (VERDICT r4 #8). FIRST_CHECK auto is 0 for channels 1-2
+(the 70-iteration burst is qualified only for p41 on AWGN).
 """
 
 import json
@@ -32,7 +37,11 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     from bench import get_code
-    from ldpc_decoder_tpu.channels import BIAWGNChannel
+    from ldpc_decoder_tpu.channels import (
+        BIAWGNChannel,
+        BSCChannel,
+        ErasureChannel,
+    )
     from ldpc_decoder_tpu.runtime.datagen_device import (
         count_bit_errors,
         create_pool_device,
@@ -51,11 +60,14 @@ def main():
         print(f"candidate code: {alist}", flush=True)
     else:
         code, qc = get_code()
+    channel_idx = int(os.environ.get("CHANNEL", "0"))
+    make_ch = {0: BIAWGNChannel, 1: BSCChannel, 2: ErasureChannel}[
+        channel_idx]
     out = {"n_vars": code.n_vars, "n_erased": code.n_erased_vars,
-           "max_iter": 120, "points": []}
+           "max_iter": 120, "channel": channel_idx, "points": []}
     fc_env = os.environ.get("FIRST_CHECK", "auto")
     for sigma in sigmas:
-        ch = BIAWGNChannel(sigma)
+        ch = make_ch(sigma)
         dec = LDPCDecoder(code, ch, StaticParams(
             max_log_parallel_factor_user=8, message_dtype="bfloat16"),
             qc=qc)
@@ -63,8 +75,8 @@ def main():
         # bench.py's first-check policy: the 70-iteration burst is
         # qualified for p41 at sigma >= 0.94 (measured retire-min 70;
         # higher noise only converges LATER, so it stays safe up-curve)
-        fc = ((70 if sigma >= 0.94 else 0) if fc_env == "auto"
-              else int(fc_env))
+        fc = ((70 if sigma >= 0.94 and channel_idx == 0 else 0)
+              if fc_env == "auto" else int(fc_env))
         dyn = DynamicParams(num_iter_max=120, num_iter_check_parity=14,
                             num_iter_first_check=fc, loading_factor=2)
         err_all, iters_all = [], []
