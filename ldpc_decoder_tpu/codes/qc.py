@@ -706,3 +706,34 @@ def qc_cover_stats(code: LDPCCode, max_candidates: int = 8,
         out.append((int(Z), float(full.sum() / rows.size)))
     out.sort(key=lambda t: -t[1])
     return out
+
+def interleave_code_numbering(code: LDPCCode, Z: int) -> tuple[
+        LDPCCode, np.ndarray, np.ndarray]:
+    """Renumber an aligned (b*Z + j) code to interleaved (j*nb + b).
+
+    The inverse tool for detect_qc_structure_permuted: produces the
+    lift-index-first numbering some tools emit, for tests and the
+    interleaved-alist speed benchmark. Returns (new code, to_new_v,
+    to_new_c) with to_new_*[aligned_index] = new_index."""
+    from ldpc_decoder_tpu.codes.alist import AlistData
+
+    nb_v = code.n_vars // Z
+    nb_c = code.n_checks // Z
+    a_v = np.arange(code.n_vars, dtype=np.int64)
+    a_c = np.arange(code.n_checks, dtype=np.int64)
+    to_new_v = (a_v % Z) * nb_v + a_v // Z
+    to_new_c = (a_c % Z) * nb_c + a_c // Z
+    rows = np.repeat(a_c, np.diff(code.out_bit_to_edge))
+    cols = code.in_edge_to_bit[code.edge_out_to_in].astype(np.int64)
+    nr = to_new_c[rows]
+    nc = to_new_v[cols]
+    order = np.lexsort((nc, nr))
+    data = AlistData(
+        n_checks=code.n_checks, n_vars=code.n_vars,
+        check_degrees=np.bincount(
+            nr, minlength=code.n_checks).astype(np.int32),
+        var_degrees=np.bincount(
+            nc, minlength=code.n_vars).astype(np.int32),
+        check_adjacency=nc[order].astype(np.int32),
+    )
+    return LDPCCode.from_alist_data(data), to_new_v, to_new_c

@@ -13,13 +13,12 @@ import numpy as np
 import pytest
 
 from ldpc_decoder_tpu.channels import BIAWGNChannel
-from ldpc_decoder_tpu.codes.alist import AlistData
-from ldpc_decoder_tpu.codes.code import LDPCCode
 from ldpc_decoder_tpu.codes.generate import make_regular_code
 from ldpc_decoder_tpu.codes.protographs import regular_base
 from ldpc_decoder_tpu.codes.qc import (
     detect_qc_structure,
     detect_qc_structure_permuted,
+    interleave_code_numbering,
     make_qc_code,
     qc_cover_stats,
 )
@@ -28,30 +27,7 @@ from ldpc_decoder_tpu.runtime.decoder import LDPCDecoder
 from ldpc_decoder_tpu.runtime.params import DynamicParams, StaticParams
 
 
-def _interleave(code: LDPCCode, Z: int) -> tuple[LDPCCode, np.ndarray,
-                                                 np.ndarray]:
-    """Renumber aligned (b*Z + j) nodes to interleaved (j*nb + b).
-
-    Returns (new code, to_new_v, to_new_c) with to_new_*[aligned] = new."""
-    nb_v = code.n_vars // Z
-    nb_c = code.n_checks // Z
-    a_v = np.arange(code.n_vars, dtype=np.int64)
-    a_c = np.arange(code.n_checks, dtype=np.int64)
-    to_new_v = (a_v % Z) * nb_v + a_v // Z
-    to_new_c = (a_c % Z) * nb_c + a_c // Z
-    rows = np.repeat(a_c, np.diff(code.out_bit_to_edge))
-    cols = code.in_edge_to_bit[code.edge_out_to_in].astype(np.int64)
-    nr = to_new_c[rows]
-    nc = to_new_v[cols]
-    order = np.lexsort((nc, nr))
-    deg_c = np.bincount(nr, minlength=code.n_checks).astype(np.int32)
-    deg_v = np.bincount(nc, minlength=code.n_vars).astype(np.int32)
-    data = AlistData(
-        n_checks=code.n_checks, n_vars=code.n_vars,
-        check_degrees=deg_c, var_degrees=deg_v,
-        check_adjacency=nc[order].astype(np.int32),
-    )
-    return LDPCCode.from_alist_data(data), to_new_v, to_new_c
+_interleave = interleave_code_numbering
 
 
 @pytest.fixture(scope="module")
