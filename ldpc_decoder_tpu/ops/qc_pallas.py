@@ -97,6 +97,21 @@ def _phi_abs_f32(x, high: float = HIGH_THRESHOLD,
     return jnp.where(xm > TAYLOR_LIMIT, 2.0 * jnp.exp(-xm), main)
 
 
+def _phi_neg_f32(x, high: float = HIGH_THRESHOLD,
+                 pre: float = PRE_THRESHOLD):
+    """−phi_abs(x), computed one VPU op cheaper: the main branch drops the
+    negation (log instead of −log) and the Taylor branch folds it into the
+    constant ((−2)·e^{−x}). Both are exact sign flips of _phi_abs_f32's
+    branches, so ``-_phi_neg_f32(x) == _phi_abs_f32(x)`` bit-for-bit.
+    Every output has its sign bit SET (log(tanh)<0 for the selected
+    x ≤ 5 range on both CPU and TPU backends; (−2)·e^{−x} < 0, −0.0 at
+    worst), which the callers' sign-restore XOR relies on
+    (qc_pallas_grouped._cn_kernel_g signed_neg)."""
+    xm = jnp.clip(x, jnp.float32(pre), jnp.float32(high))
+    main = jnp.log(jnp.tanh(xm * jnp.float32(0.5)))
+    return jnp.where(xm > TAYLOR_LIMIT, -2.0 * jnp.exp(-xm), main)
+
+
 def _copysign_bits(mag, src):
     """copysign(mag, src) for mag >= 0 f32 via sign-bit OR — measured
     cheaper on the v5e VPU than jnp.copysign / float ±1 products / the

@@ -48,6 +48,7 @@ from ldpc_decoder_tpu.ops.qc_pallas import (
     _interpret,
     _lane_block,
     _phi_abs_f32,
+    _phi_neg_f32,
     _pipeline_mode,
     _scratch_rows,
     _signed_fine,
@@ -287,21 +288,30 @@ def _window_flat(refs, k, tab_ref, e_base, i, d, tile, seam, scratch,
     bytes) fails Mosaic compilation — packed-bf16 dynamic sublane slices
     need offsets provably multiple of 8, and the fine rotation offsets
     are arbitrary (measured round 3; ROADMAP dead-end table)."""
-    sc = jnp.float32(inv_scale)
+    # staging upcast + (int8 only) dequant; the multiply is emitted only
+    # when a real scale exists — Mosaic does not fold x * 1.0, and the
+    # folded form is bit-identical (x * 1.0 == x for every f32)
+    if inv_scale != 1.0:
+        sc = jnp.float32(inv_scale)
+
+        def _stage(x):
+            return x.astype(jnp.float32) * sc
+    else:
+        def _stage(x):
+            return x.astype(jnp.float32)
     if seam:
         main, halo = refs[2 * k], refs[2 * k + 1]
-        scratch[k, seam : seam + tile, :] = main[0].astype(jnp.float32) * sc
+        scratch[k, seam : seam + tile, :] = _stage(main[0])
         # sign-selected halo staged at the matching end (qc_pallas._window)
         if "static_halo" in _ablate():  # timing-only: wrong results
-            scratch[k, 0:seam, :] = halo[0].astype(jnp.float32) * sc
+            scratch[k, 0:seam, :] = _stage(halo[0])
         else:
             pos = jnp.where(tab_ref[e_base + i * d + k, 3] >= seam,
                             seam + tile, 0)
-            scratch[k, pl.ds(pos, seam), :] = halo[0].astype(jnp.float32) * sc
+            scratch[k, pl.ds(pos, seam), :] = _stage(halo[0])
     else:
-        scratch[k, 0:tile, :] = refs[2 * k][0].astype(jnp.float32) * sc
-        scratch[k, tile : 2 * tile, :] = (
-            refs[2 * k + 1][0].astype(jnp.float32) * sc)
+        scratch[k, 0:tile, :] = _stage(refs[2 * k][0])
+        scratch[k, tile : 2 * tile, :] = _stage(refs[2 * k + 1][0])
     if "static_fine" in _ablate():  # timing-only: wrong results
         return scratch[k, 0:tile, :]
     fine = tab_ref[e_base + i * d + k, 3]
@@ -360,6 +370,18 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
         r = jax.lax.bitcast_convert_type(res, u32) | (sb[k] ^ X)
         return jax.lax.bitcast_convert_type(r, jnp.float32)
 
+    # Sum-product also folds φ's leading negation into this algebra: φ is
+    # evaluated in NEGATED form (log∘tanh / (−2)·exp — one VPU op fewer,
+    # bitwise-exact sign flips of phi_abs, see _phi_neg_f32), so res
+    # arrives with its sign bit SET; XOR-ing (sb_k ^ X ^ sbit) then both
+    # clears it and installs the parity sign in one pass. Output bits are
+    # identical to `signed(phi_abs(...), k)`.
+    Xn = X ^ sbit
+
+    def signed_neg(res_neg, k):
+        r = jax.lax.bitcast_convert_type(res_neg, u32) ^ (sb[k] ^ Xn)
+        return jax.lax.bitcast_convert_type(r, jnp.float32)
+
     if alg == "min-sum":
         m1 = a[0]
         m2 = jnp.full_like(a[0], jnp.inf)
@@ -381,11 +403,12 @@ def _cn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int, alg: str,
         for x in a[1:]:
             ext = ext + x
         for k in range(d):
-            res = _phi_abs_f32(ext - a[k], pre=phi_pre)
             if "no_signs" in _ablate():  # timing-only: wrong results
+                res = _phi_abs_f32(ext - a[k], pre=phi_pre)
                 out_ref[k] = res.astype(out_ref.dtype)
                 continue
-            out_ref[k] = signed(res, k).astype(out_ref.dtype)
+            res_neg = _phi_neg_f32(ext - a[k], pre=phi_pre)
+            out_ref[k] = signed_neg(res_neg, k).astype(out_ref.dtype)
 
 
 def _vn_kernel_g(tab_ref, *refs, d: int, tile: int, seam: int,

@@ -121,11 +121,14 @@ def main():
     cn1, vn1 = run_all("phi=live", tables, state, bytes_cn, bytes_vn)
 
     orig = g._phi_abs_f32
+    orig_n = g._phi_neg_f32
     try:
         g._phi_abs_f32 = lambda x, high=None, pre=None: x
+        g._phi_neg_f32 = lambda x, high=None, pre=None: x
         cn0, vn0 = run_all("phi=stub", tables, state, bytes_cn, bytes_vn)
     finally:
         g._phi_abs_f32 = orig
+        g._phi_neg_f32 = orig_n
 
     print(f"\nphi cost: CN {1e3*(cn1-cn0):+.3f} ms  VN {1e3*(vn1-vn0):+.3f}"
           f" ms   (additive => no overlap; ~0 => hidden under DMA)")
